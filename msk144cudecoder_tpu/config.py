@@ -1,0 +1,75 @@
+"""Typed decoder configuration.
+
+One config object covers what the reference spreads over three tiers: CLI
+options (/root/reference/src/main.cu:136-190), compile-time constants
+(src/common.h:14-47), and CMake defines (CMakeLists.txt:44-49). It is frozen
+and hashable so it can be a static argument to jitted pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import constants as C
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    # --- CLI-equivalent options (defaults mirror main.cu:122-133 code, not
+    # its stale help text) ---
+    center_frequency: float = 1500.0
+    search_step: float = 2.0
+    search_width: float = 200.0
+    scan_depth: int = 4
+    read_mode: int = 1  # 1 = 16-bit audio, 2 = 8-bit IQ
+    analytic_method: int = 2  # 1 = FFT Hilbert, 2 = shift+FIR+shift
+    nbadsync_threshold: int = 1
+
+    # --- Framework knobs (no reference equivalent) ---
+    max_survivors: int = 512  # static LDPC batch: top-K candidates by
+    # (nbadsync, xb); replaces the reference's dynamic stream compaction
+    # (src/index_kernel.cuh) which XLA's static shapes cannot express.
+    use_pallas: bool = False  # fused Pallas kernels vs pure-jnp ops
+    window_batch: int = 1  # windows decoded per device call
+
+    def __post_init__(self):
+        d = min(max(self.scan_depth, 1), C.SCAN_DEPTH_MAX)
+        object.__setattr__(self, "scan_depth", d)
+        if self.read_mode not in (1, 2):
+            raise ValueError(f"read_mode must be 1 or 2, got {self.read_mode}")
+        if self.analytic_method not in (1, 2):
+            raise ValueError(f"analytic_method must be 1 or 2, got {self.analytic_method}")
+
+    @classmethod
+    def create(cls, **kwargs) -> "DecoderConfig":
+        """Create with the reference's default center frequency per read mode
+        (main.cu:192-208): 1500 Hz for audio, 0 Hz for IQ."""
+        if "center_frequency" not in kwargs:
+            kwargs["center_frequency"] = 0.0 if kwargs.get("read_mode", 1) == 2 else 1500.0
+        return cls(**kwargs)
+
+    def replace(self, **kwargs) -> "DecoderConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def freqs(self) -> np.ndarray:
+        return C.freq_grid(self.center_frequency, self.search_width, self.search_step)
+
+    @property
+    def num_freqs(self) -> int:
+        return len(self.freqs)
+
+    @property
+    def num_candidates(self) -> int:
+        return self.num_freqs * self.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+
+    @property
+    def left_bound(self) -> float:
+        return float(self.freqs[0])
+
+    @property
+    def right_bound(self) -> float:
+        return float(self.freqs[-1])

@@ -12,6 +12,7 @@ from .model import (  # noqa: F401
     iq_filter,
     mix_down,
     modulate_frame,
+    platanh,
     rms_normalize_int16,
     scan_candidates,
     scan_xb,

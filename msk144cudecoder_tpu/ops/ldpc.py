@@ -1,0 +1,155 @@
+"""Masked batched LDPC(128,90) belief propagation + CRC gate.
+
+TPU-native redesign of the reference BP kernel
+(/root/reference/src/ldpc_kernel.cuh:100-248). The reference sizes its grid
+dynamically from a stream-compacted survivor count (src/index_kernel.cuh);
+XLA wants static shapes, so we decode a fixed top-K survivor batch with a
+validity mask — the 128-bit codeword axis maps exactly onto the TPU's
+128-lane registers, candidates batch on sublanes.
+
+Faithful semantics per iteration (checked before message updates, iteration 0
+= raw hard decision, like the reference):
+  zn = llr + sum_k tov ; cw = zn > 0
+  parity over all 38 checks; if clean, CRC-13 gate (as a GF(2) mat-vec — the
+  CRC is linear, see protocol/crc.py) and hard-error count < 18
+  bit->check:  toc[r, j] = zn[bit(r,j)] - tov[bit(r,j), k(r,j)]   (gathers)
+  check->bit:  leave-one-out product of tanh(-toc/2) along each row,
+               computed with exclusive prefix/suffix products (no division,
+               no 0/0 hazards), then tov = 2 * platanh(-prod)
+platanh is the reference's 5-segment piecewise-linear atanh.
+
+A decoded candidate's result freezes at its first success (early-exit
+equivalent); BP keeps running for the rest of the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..protocol import crc as crc_mod
+from ..protocol import ldpc_tables as T
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _tables() -> dict:
+    NM = T.NM  # (38, 11) bit index per (check, slot), -1 pad
+    MN = T.MN  # (128, 3) -> (check, slot)
+    edge_valid = NM >= 0
+    NM_idx = np.where(edge_valid, NM, 0).astype(np.int32)
+    # KSLOT[r, j]: which of bit NM[r,j]'s 3 edges is (r, j)
+    KSLOT = np.zeros_like(NM_idx)
+    for r in range(T.N_CHECKS):
+        for j in range(T.MAX_ROW_DEGREE):
+            b = NM[r, j]
+            if b >= 0:
+                (k,) = [k for k in range(3) if MN[b, k, 0] == r and MN[b, k, 1] == j]
+                KSLOT[r, j] = k
+    return {
+        "NM_idx": NM_idx,
+        "edge_valid": edge_valid,
+        "KSLOT": KSLOT.astype(np.int32),
+        "MN_r": MN[:, :, 0].astype(np.int32),
+        "MN_slot": MN[:, :, 1].astype(np.int32),
+        "CRC_M": crc_mod.CRC_MATRIX.T.astype(np.float32),  # (77, 13)
+    }
+
+
+def platanh(x: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-linear atanh approximation (ldpc_kernel.cuh:65-93)."""
+    z = jnp.abs(x)
+    s = jnp.where(x < 0.0, -1.0, 1.0)
+    return jnp.where(
+        z <= 0.664,
+        x / 0.83,
+        s
+        * jnp.where(
+            z <= 0.9217,
+            (z - 0.4064) / 0.322,
+            jnp.where(
+                z <= 0.9951,
+                (z - 0.8378) / 0.0524,
+                jnp.where(z <= 0.9998, (z - 0.9914) / 0.0012, 7.0),
+            ),
+        ),
+    )
+
+
+def _exclusive_products(t: jnp.ndarray) -> jnp.ndarray:
+    """Leave-one-out row products along the last axis via prefix*suffix."""
+    ones = jnp.ones_like(t[..., :1])
+    pf = jnp.concatenate([ones, jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
+    rev = jnp.flip(t, axis=-1)
+    sf = jnp.flip(jnp.concatenate([ones, jnp.cumprod(rev, axis=-1)[..., :-1]], axis=-1), axis=-1)
+    return pf * sf
+
+
+class BPResult(NamedTuple):
+    found: jnp.ndarray  # (K,) bool
+    codeword: jnp.ndarray  # (K, 128) int8
+    iterations: jnp.ndarray  # (K,) int32
+    hard_errors: jnp.ndarray  # (K,) int32
+
+
+def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_ITERATIONS) -> BPResult:
+    """Batched BP decode. llr: (K, 128) float32; valid: (K,) bool mask."""
+    tbl = _tables()
+    NM_idx = jnp.asarray(tbl["NM_idx"])
+    edge_valid = jnp.asarray(tbl["edge_valid"])
+    KSLOT = jnp.asarray(tbl["KSLOT"])
+    MN_r = jnp.asarray(tbl["MN_r"])
+    MN_slot = jnp.asarray(tbl["MN_slot"])
+    CRC_M = jnp.asarray(tbl["CRC_M"])
+
+    K = llr.shape[0]
+    hard_in = llr > 0.0
+
+    def check_stage(zn):
+        cw = zn > 0.0
+        cw_i = cw.astype(jnp.float32)
+        edges = cw_i[:, NM_idx] * edge_valid  # (K, 38, 11)
+        row_par = jnp.mod(edges.sum(axis=-1), 2.0)
+        ncheck = row_par.sum(axis=-1)  # (K,)
+        crc_bits = jnp.matmul(cw_i[:, :77], CRC_M, precision=_HIGHEST)
+        crc_bits = crc_bits - 2.0 * jnp.floor(crc_bits * 0.5)
+        crc_ok = jnp.all(crc_bits == cw_i[:, 77:90], axis=-1)
+        nerr = jnp.sum(cw != hard_in, axis=-1).astype(jnp.int32)
+        ok = (ncheck == 0.0) & crc_ok & (nerr < C.MAX_HARD_ERRORS) & valid
+        return cw, ok, nerr
+
+    def body(it, state):
+        tov, found, cw_s, iter_s, nerr_s = state
+        zn = llr + tov.sum(axis=-1)
+        cw, ok, nerr = check_stage(zn)
+        newly = ok & (~found)
+        cw_s = jnp.where(newly[:, None], cw.astype(jnp.int8), cw_s)
+        iter_s = jnp.where(newly, it, iter_s)
+        nerr_s = jnp.where(newly, nerr, nerr_s)
+        found = found | newly
+
+        # bit -> check
+        tov_edge = tov[jnp.arange(K)[:, None, None], NM_idx[None], KSLOT[None]]
+        toc = zn[:, NM_idx] - tov_edge  # (K, 38, 11)
+        t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
+        loo = _exclusive_products(t)  # (K, 38, 11)
+        # check -> bit
+        prod = loo[jnp.arange(K)[:, None, None], MN_r[None], MN_slot[None]]  # (K, 128, 3)
+        tov = 2.0 * platanh(-prod)
+        return tov, found, cw_s, iter_s, nerr_s
+
+    init = (
+        jnp.zeros((K, 128, 3), jnp.float32),
+        jnp.zeros((K,), bool),
+        jnp.zeros((K, 128), jnp.int8),
+        jnp.zeros((K,), jnp.int32),
+        jnp.zeros((K,), jnp.int32),
+    )
+    _, found, cw_s, iter_s, nerr_s = jax.lax.fori_loop(0, max_iters, body, init)
+    return BPResult(found, cw_s, iter_s, nerr_s)
