@@ -1,0 +1,122 @@
+"""Command-line interface: stdin samples in, decoded message lines out.
+
+Flag surface, defaults, banner, and output line format mirror the reference
+(/root/reference/src/main.cu:58-68,122-208,233-252,406-419). The help/code
+default mismatches in the reference (scan-depth 3 vs 4, nbadsync 2 vs 1) are
+resolved in favor of the code defaults; the help text states the real values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from . import constants as C
+from .config import DecoderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="msk144tpudecoder",
+        description=(
+            "TPU-native MSK144 stream decoder. Reads 12 kS/s samples on stdin "
+            "(16-bit signed mono audio, or 2x8-bit signed IQ), prints decoded "
+            "messages on stdout."
+        ),
+    )
+    p.add_argument("--center-frequency", type=float, default=None,
+                   help="center frequency in Hz (default: 1500 audio, 0 IQ)")
+    p.add_argument("--search-step", type=float, default=2.0,
+                   help="frequency search step in Hz (default 2.0)")
+    p.add_argument("--search-width", type=float, default=200.0,
+                   help="frequency search width in Hz (default 200)")
+    p.add_argument("--scan-depth", type=int, default=4,
+                   help="frame-averaging depth 1..8 (default 4)")
+    p.add_argument("--read-mode", type=int, default=1, choices=(1, 2),
+                   help="1 = 16-bit audio, 2 = 2x8-bit IQ (default 1)")
+    p.add_argument("--analytic-method", type=int, default=2, choices=(1, 2),
+                   help="1 = FFT Hilbert, 2 = shift+FIR+shift (default 2)")
+    p.add_argument("--nbadsync-threshold", type=int, default=1,
+                   help="max bad sync bits per candidate (default 1)")
+    p.add_argument("--max-survivors", type=int, default=512,
+                   help="static LDPC batch size (top-K survivors)")
+    p.add_argument("--window-batch", type=int, default=1,
+                   help="windows decoded per device call")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> DecoderConfig:
+    kwargs = dict(
+        search_step=args.search_step,
+        search_width=args.search_width,
+        scan_depth=args.scan_depth,
+        read_mode=args.read_mode,
+        analytic_method=args.analytic_method,
+        nbadsync_threshold=args.nbadsync_threshold,
+        max_survivors=args.max_survivors,
+        window_batch=args.window_batch,
+    )
+    if args.center_frequency is not None:
+        kwargs["center_frequency"] = args.center_frequency
+    return DecoderConfig.create(**kwargs)
+
+
+def print_banner(cfg: DecoderConfig, out=None) -> None:
+    """Actual-parameters banner (main.cu:233-252)."""
+    out = out if out is not None else sys.stderr
+    mode = "16-bit signed real" if cfg.read_mode == 1 else "2x8-bit signed IQ"
+    lines = [
+        "Actual parameters:",
+        f"Center Frequency: {cfg.center_frequency:g}Hz",
+        f"Search Step: {cfg.search_step:g}Hz",
+        f"Search Width: {cfg.search_width:g}Hz",
+        f"Scan Depth: {cfg.scan_depth}",
+        f"Left Boundary: {cfg.left_bound:g}Hz",
+        f"Right Boundary: {cfg.right_bound:g}Hz",
+        f"Read Mode: ({mode})",
+    ]
+    if cfg.read_mode == 1:
+        lines.append(f"Analytic Method: {cfg.analytic_method}")
+    lines += [
+        f"Badsync Threshold: {cfg.nbadsync_threshold}",
+        f"Frequency channels: {cfg.num_freqs}",
+        f"Candidate slots: {cfg.num_candidates}",
+        f"LDPC survivor batch: {cfg.max_survivors}",
+        "",
+    ]
+    print("\n".join(lines), file=out)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print_banner(cfg)
+
+    # Import JAX lazily so --help stays instant.
+    from .runtime import StreamDecoder
+    from .runtime.metrics import SimpleTimer
+    from .runtime.stream import window_stream
+
+    decoder = StreamDecoder(cfg)
+    stdin = sys.stdin.buffer
+
+    for window in window_stream(stdin, cfg.read_mode):
+        timer = SimpleTimer()
+        results = decoder.decode_block(window)
+        ms = timer.milliseconds_elapsed()
+        if ms > C.LOOP_SOFT_BUDGET_MS:
+            print(
+                f"Warning: Working loop takes too much time: {ms:.0f} ms"
+                f" of {C.LOOP_SOFT_BUDGET_MS:.0f} ms max.",
+                file=sys.stderr,
+            )
+        for item in results:
+            print(item.format_line(), flush=True)
+
+    print("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,7 @@ class WindowDecodeResult(NamedTuple):
     ldpc_iterations: jnp.ndarray  # (K,) int32
     hard_errors: jnp.ndarray  # (K,) int32
     num_survivors: jnp.ndarray  # () int32: how many passed the threshold
+    block_power: jnp.ndarray  # (8,) float32 sub-block powers for SNR tracking
 
 
 def preprocess(raw: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
@@ -58,6 +59,12 @@ def preprocess(raw: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     z = raw.astype(jnp.float32) / 128.0
     zc = jax.lax.complex(z[..., 0::2], z[..., 1::2])
     return analytic.iq_filter(zc)
+
+
+def block_powers(c: jnp.ndarray) -> jnp.ndarray:
+    """(8,) sub-block signal powers of one analytic window, matching the SNR
+    tracker's host loop (/root/reference/src/snr_tracker.cu:21-33)."""
+    return jnp.sum(jnp.abs(c.reshape(8, _N // 8)) ** 2, axis=-1).astype(jnp.float32)
 
 
 def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
@@ -93,6 +100,7 @@ def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
         ldpc_iterations=bp.iterations,
         hard_errors=bp.hard_errors,
         num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
+        block_power=block_powers(c),
     )
 
 

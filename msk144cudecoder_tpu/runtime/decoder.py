@@ -1,0 +1,99 @@
+"""StreamDecoder: the host driver around the jitted decode pipeline.
+
+TPU counterpart of the reference's do_decode + JTdecode host loop
+(/root/reference/src/main.cu:428-532): run the device pipeline on a raw
+window, then on the host unpack each decoded 77-bit payload to text (with a
+content-keyed memo cache, main.cu:448,497-504 — minus its broken comparator,
+see SURVEY.md quirks), track SNR, and deduplicate through the ResultFilter.
+
+Supports depth-1 async pipelining: `submit()` launches the device work and
+returns immediately (JAX async dispatch); `collect()` blocks on the transfer
+and does host post-processing. The reference's loop is fully synchronous
+(main.cu:468-471) — overlapping device compute with host unpack of the
+previous window is a free win on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from ..config import DecoderConfig
+from ..ops import pipeline
+from ..protocol import msg77
+from .result_filter import ResultFilter, ResultItem
+from .snr import SNRTracker
+
+
+class StreamDecoder:
+    def __init__(self, cfg: DecoderConfig):
+        self.cfg = cfg
+        self.snr_tracker = SNRTracker()
+        self.result_filter = ResultFilter()
+        self.hashes = msg77.CallsignHashTable()
+        self._decode_cache: Dict[bytes, Tuple[bool, str]] = {}
+        self._freqs = cfg.freqs
+        self._pending = None  # in-flight WindowDecodeResult
+
+    # -- device side ------------------------------------------------------
+
+    def submit(self, raw_window: np.ndarray) -> None:
+        """Launch the device pipeline on one raw window (async dispatch)."""
+        assert self._pending is None, "collect() the previous window first"
+        raw = np.asarray(raw_window)[None, :]  # batch of 1
+        self._pending = pipeline.decode_raw(raw, self.cfg)
+
+    def collect(self) -> List[ResultItem]:
+        """Block on the in-flight window, post-process, return deduped results."""
+        assert self._pending is not None, "no window submitted"
+        res = jax_to_host(self._pending)
+        self._pending = None
+        return self._postprocess(res)
+
+    def decode_block(self, raw_window: np.ndarray) -> List[ResultItem]:
+        """Synchronous submit+collect of one window."""
+        self.submit(raw_window)
+        return self.collect()
+
+    # -- host side --------------------------------------------------------
+
+    def _unpack_cached(self, bits77: np.ndarray) -> Tuple[bool, str]:
+        key = np.packbits(bits77).tobytes()
+        hit = self._decode_cache.get(key)
+        if hit is not None:
+            return hit
+        if msg77.plausible_message_type(bits77):
+            out = msg77.unpack77(bits77, self.hashes)
+        else:
+            out = (False, "")
+        self._decode_cache[key] = out
+        return out
+
+    def _postprocess(self, res) -> List[ResultItem]:
+        # batch of 1: strip the leading axis
+        self.snr_tracker.process_powers(res.block_power[0])
+        self.result_filter.block_begin()
+        found = np.asarray(res.found[0])
+        for k in np.nonzero(found)[0]:
+            bits77 = np.asarray(res.message_bits[0][k], dtype=np.int8)
+            ok, text = self._unpack_cached(bits77)
+            if not ok:
+                continue
+            fi, pi, _ = pipeline.unpack_candidate_index(self.cfg, int(res.cand_index[0][k]))
+            self.result_filter.put_message(
+                snr=self.snr_tracker.snr_i,
+                f0=float(self._freqs[fi]),
+                num_avg=int(C.PATTERN_NUM_AVG[pi]),
+                nbadsync=int(res.nbadsync[0][k]),
+                pattern_idx=pi,
+                message=text,
+            )
+        self.result_filter.block_end()
+        return self.result_filter.block_result()
+
+
+def jax_to_host(res) -> "pipeline.WindowDecodeResult":
+    """Materialize every leaf of a WindowDecodeResult on the host."""
+    return type(res)(*(np.asarray(x) for x in res))

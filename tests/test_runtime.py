@@ -1,0 +1,188 @@
+"""End-to-end runtime tests: synthetic streams through the full decoder shell.
+
+Replaces the reference's manual `cat demo/0001.wav | msk144cudecoder`
+verification (README.md:70-73; the demo file is stripped from the snapshot)
+with synthetic MSK144 stimuli from the golden encoder.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from msk144cudecoder_tpu import constants as C
+from msk144cudecoder_tpu import golden as G
+from msk144cudecoder_tpu.cli import build_parser, config_from_args, print_banner
+from msk144cudecoder_tpu.config import DecoderConfig
+from msk144cudecoder_tpu.runtime import ResultFilter, SNRTracker, StreamDecoder
+from msk144cudecoder_tpu.runtime.stream import window_stream
+
+
+# max_survivors must cover every plausible survivor (the reference decodes all
+# of them, result_filter then prefers lowest num_avg — a too-small K can drop
+# the num_avg=1 decode while a deeper-averaged duplicate survives on xb rank).
+CFG_SMALL = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=256)
+
+
+class TestSNRTracker:
+    def test_noise_floor_asymmetric_ema(self):
+        t = SNRTracker()
+        t.process_powers(np.full(8, 4.0))
+        assert t.snr_f == pytest.approx(-8.0)  # flat signal: peak/noise-1 = 0
+        # rising avg: slow EMA
+        t.process_powers(np.full(8, 8.0))
+        # noise floor = 0.9*4 + 0.1*8 = 4.4; peak/noise-1 = 8/4.4-1
+        assert t.snr_f == pytest.approx(10 * np.log10(8 / 4.4 - 1), abs=1e-5)
+        # falling avg: instant
+        t.process_powers(np.full(8, 1.0))
+        assert t.snr_f == pytest.approx(-8.0)
+
+    def test_peak_detection(self):
+        t = SNRTracker()
+        p = np.ones(8)
+        t.process_powers(p)
+        strong = p.copy()
+        strong[3] = 100.0
+        t.process_powers(strong)
+        assert t.snr_f > 8.0
+
+    def test_clamping(self):
+        # Lower clamp: flat power gives peak/noise-1 = 0 -> -inf -> -8 dB.
+        t = SNRTracker()
+        t.process_powers(np.full(8, 4.0))
+        assert t.snr_f == -8.0
+        # Upper clamp: established low noise floor, then a burst window whose
+        # avg stays below floor (noise falls instantly) but peak is huge.
+        t = SNRTracker()
+        t.process_powers(np.full(8, 1.0))
+        p = np.full(8, 0.1)
+        p[0] = 0.7  # avg=0.175 < 1 -> noise drops to 0.175; peak/noise-1 = 3
+        t.process_powers(p)
+        assert t.snr_f == pytest.approx(10 * np.log10(0.7 / 0.175 - 1), abs=1e-6)
+        p[0] = 1e6
+        t.process_powers(p)  # avg ~1.25e5 > noise -> rises slowly; ratio ~80
+        assert -8.0 <= t.snr_f <= 24.0
+
+
+class TestResultFilter:
+    def test_dedup_keeps_best(self):
+        f = ResultFilter()
+        f.block_begin()
+        f.put_message(1, 1500.0, 3, 1, 2, "CQ K1ABC FN42")
+        f.put_message(2, 1500.0, 1, 0, 0, "CQ K1ABC FN42")
+        f.put_message(0, 1490.0, 2, 0, 1, "K1ABC W9XYZ 73")
+        f.block_end()
+        res = f.block_result()
+        assert len(res) == 2
+        by_msg = {r.message: r for r in res}
+        assert by_msg["CQ K1ABC FN42"].num_avg == 1
+        assert by_msg["CQ K1ABC FN42"].pattern_idx == 0
+
+    def test_line_format(self):
+        f = ResultFilter()
+        f.block_begin()
+        f.put_message(3, 1502.0, 1, 0, 0, "CQ K1ABC FN42")
+        f.block_end()
+        line = f.block_result()[0].format_line()
+        assert line.startswith("***  snr= 3; f0=  1502; num_avg=1; nbadsync=0; pattern_idx=0; date=")
+        assert line.endswith("msg='CQ K1ABC FN42'; ")
+
+
+class TestWindowStream:
+    def test_audio_overlap(self):
+        n = C.WINDOW_LEN
+        samples = np.arange(n * 2, dtype=np.int16)
+        windows = list(window_stream(io.BytesIO(samples.tobytes()), 1))
+        assert len(windows) == 3
+        np.testing.assert_array_equal(windows[0], samples[:n])
+        np.testing.assert_array_equal(windows[1], samples[n // 2 : n // 2 + n])
+        np.testing.assert_array_equal(windows[2], samples[n:])
+
+    def test_iq_is_twice_the_bytes(self):
+        n = C.WINDOW_LEN * 2
+        samples = (np.arange(n, dtype=np.int32) % 127).astype(np.int8)
+        windows = list(window_stream(io.BytesIO(samples.tobytes()), 2))
+        assert len(windows) == 1
+        np.testing.assert_array_equal(windows[0], samples)
+
+    def test_short_read_ends_stream(self):
+        samples = np.zeros(C.WINDOW_LEN + 10, dtype=np.int16)
+        windows = list(window_stream(io.BytesIO(samples.tobytes()), 1))
+        assert len(windows) == 1
+
+
+class TestStreamDecoder:
+    def test_decode_synthetic_audio(self):
+        audio = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=np.random.default_rng(5)
+        )
+        dec = StreamDecoder(CFG_SMALL)
+        res = dec.decode_block(audio)
+        assert len(res) == 1
+        assert res[0].message == "CQ K1ABC FN42"
+        assert res[0].f0 == pytest.approx(1500.0, abs=2.0)
+        assert res[0].num_avg == 1
+
+    def test_decode_iq_mode(self):
+        iq = G.synthesize_iq_int8(
+            [("K1ABC W9XYZ EN37", 20.0)], 6, snr_db=10.0, rng=np.random.default_rng(6)
+        )
+        cfg = DecoderConfig.create(read_mode=2, search_width=100.0, scan_depth=3,
+                                   max_survivors=64)
+        dec = StreamDecoder(cfg)
+        res = dec.decode_block(iq)
+        assert len(res) == 1
+        assert res[0].message == "K1ABC W9XYZ EN37"
+        assert res[0].f0 == pytest.approx(20.0, abs=2.0)
+
+    def test_weak_signal_needs_averaging(self):
+        """At low SNR the deep averaging patterns should still find the frame."""
+        audio = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=-2.0, rng=np.random.default_rng(7)
+        )
+        dec = StreamDecoder(DecoderConfig(search_width=100.0, scan_depth=6, max_survivors=128))
+        res = dec.decode_block(audio)
+        assert len(res) == 1
+        assert res[0].message == "CQ K1ABC FN42"
+
+    def test_noise_only_no_decodes(self):
+        rng = np.random.default_rng(8)
+        audio = (rng.normal(0, 1000, C.WINDOW_LEN)).astype(np.int16)
+        dec = StreamDecoder(CFG_SMALL)
+        assert dec.decode_block(audio) == []
+
+    def test_streaming_two_messages(self):
+        rng = np.random.default_rng(9)
+        a1 = G.synthesize_audio_int16([("CQ K1ABC FN42", 1510.0)], 6, snr_db=10.0, rng=rng)
+        a2 = G.synthesize_audio_int16([("K1ABC W9XYZ R-02", 1490.0)], 6, snr_db=10.0, rng=rng)
+        stream = io.BytesIO(a1.tobytes() + a2.tobytes())
+        dec = StreamDecoder(CFG_SMALL)
+        texts = []
+        for w in window_stream(stream, 1):
+            texts.append({r.message for r in dec.decode_block(w)})
+        assert len(texts) == 3  # 2 full windows + 1 overlap window
+        assert "CQ K1ABC FN42" in texts[0]
+        assert "K1ABC W9XYZ R-02" in texts[2]
+
+
+class TestCLI:
+    def test_defaults_match_reference_code(self):
+        args = build_parser().parse_args([])
+        cfg = config_from_args(args)
+        assert cfg.center_frequency == 1500.0
+        assert cfg.search_step == 2.0
+        assert cfg.search_width == 200.0
+        assert cfg.scan_depth == 4
+        assert cfg.analytic_method == 2
+        assert cfg.nbadsync_threshold == 1
+
+    def test_iq_default_center(self):
+        args = build_parser().parse_args(["--read-mode", "2"])
+        assert config_from_args(args).center_frequency == 0.0
+
+    def test_banner(self, capsys):
+        print_banner(CFG_SMALL)
+        err = capsys.readouterr().err
+        assert "Center Frequency: 1500Hz" in err
+        assert "Left Boundary: 1450Hz" in err
+        assert "Right Boundary: 1550Hz" in err
