@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="static LDPC batch size (top-K survivors)")
     p.add_argument("--window-batch", type=int, default=1,
                    help="windows decoded per device call")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu, tpu); wins over the "
+                        "environment even where JAX_PLATFORMS is overridden")
     return p
 
 
@@ -92,6 +95,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     print_banner(cfg)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     # Import JAX lazily so --help stays instant.
     from .runtime import StreamDecoder

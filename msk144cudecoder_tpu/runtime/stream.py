@@ -9,6 +9,7 @@ sample). Short reads end the stream, matching main.cu:276-293.
 
 from __future__ import annotations
 
+import sys
 from typing import BinaryIO, Iterator
 
 import numpy as np
@@ -32,7 +33,11 @@ def window_stream(fp: BinaryIO, read_mode: int) -> Iterator[np.ndarray]:
     def read_exact(n_items: int):
         data = fp.read(n_items * itemsize)
         arr = np.frombuffer(data, dtype=dtype)
-        return arr if len(arr) == n_items else None
+        if len(arr) != n_items:
+            # EOF/short read ends the stream (main.cu:276-293 prints the same)
+            print(f"Incomplete read error. rc={len(arr)}", file=sys.stderr)
+            return None
+        return arr
 
     buf = read_exact(n_full)
     if buf is None:
