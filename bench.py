@@ -1,0 +1,92 @@
+"""Benchmark: real-time factor on the reference's deep-scan configuration.
+
+Headline metric (BASELINE.md): real-time factor per chip on the deep scan
+(--search-step=1 --search-width=500 --scan-depth=6 --nbadsync-threshold=3,
+/root/reference/README.md:65-67). One loop iteration consumes HOP_LEN = 2592
+new samples (216 ms of signal, main.cu:283-294); rtf = samples decoded per
+wall-second / 12000. vs_baseline is against the 1000x-per-chip north star.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4, help="windows per device call")
+    p.add_argument("--iters", type=int, default=4, help="timed iterations")
+    p.add_argument("--quick", action="store_true",
+                   help="small config for CI/CPU smoke runs")
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from msk144cudecoder_tpu import constants as C
+    from msk144cudecoder_tpu import golden as G
+    from msk144cudecoder_tpu.config import DecoderConfig
+    from msk144cudecoder_tpu.ops import pipeline
+
+    if args.quick:
+        cfg = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128)
+    else:
+        cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
+                            nbadsync_threshold=3, max_survivors=512)
+
+    rng = np.random.default_rng(0)
+    msg_audio = G.synthesize_audio_int16(
+        [("CQ K1ABC FN42", 1500.0)], 6, snr_db=4.0, rng=rng
+    )
+    noise = rng.normal(0.0, 1000.0, (args.batch - 1, C.WINDOW_LEN)).astype(np.int16)
+    raw = np.concatenate([msg_audio[None, :], noise]) if args.batch > 1 else msg_audio[None, :]
+
+    dev = jax.devices()[0]
+    print(f"bench: platform={dev.platform} device={dev} cfg: F={cfg.num_freqs} "
+          f"P={cfg.scan_depth} K={cfg.max_survivors} batch={args.batch}",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    res = pipeline.decode_raw(raw, cfg)
+    jax.block_until_ready(res)
+    compile_s = time.perf_counter() - t0
+    print(f"bench: first call (compile+run) {compile_s:.1f}s", file=sys.stderr)
+
+    # sanity: the planted message must decode
+    assert bool(np.asarray(res.found[0]).any()), "bench stimulus failed to decode"
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = pipeline.decode_raw(raw, cfg)
+    jax.block_until_ready(res)
+    elapsed = time.perf_counter() - t0
+
+    per_window_s = elapsed / (args.iters * args.batch)
+    samples_per_s = C.HOP_LEN / per_window_s
+    rtf = samples_per_s / C.SAMPLE_RATE
+    print(f"bench: {per_window_s*1e3:.2f} ms/window  {samples_per_s:,.0f} samples/s  "
+          f"rtf={rtf:,.1f}x", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "real_time_factor_deep_scan" if not args.quick else "real_time_factor_quick",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 1000.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

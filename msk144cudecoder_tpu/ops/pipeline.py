@@ -67,13 +67,18 @@ def block_powers(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.abs(c.reshape(8, _N // 8)) ** 2, axis=-1).astype(jnp.float32)
 
 
-def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
-    """One analytic window (5184,) complex64 -> fixed-shape decode results."""
-    freqs = tuple(float(f) for f in cfg.freqs)
+def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDecodeResult:
+    """One analytic window (5184,) complex64 -> fixed-shape decode results.
+
+    `freqs` is either a static tuple (single-device: tables become jit
+    constants) or a tables.FreqTables of arrays (shard_map: each device gets
+    its frequency-axis slice). All shapes derive from the table arrays so the
+    same code serves both paths.
+    """
     pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
     sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
 
-    nc = cfg.num_candidates
+    nc = pos.shape[0] * pos.shape[1] * pos.shape[2]
     k = min(cfg.max_survivors, nc)
     xb_f = xb.reshape(nc)
     nbad_f = nbad.reshape(nc)
@@ -102,6 +107,11 @@ def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
         num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
         block_power=block_powers(c),
     )
+
+
+def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
+    """Single-device decode: frequency tables are jit-constants from cfg."""
+    return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -41,29 +41,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from .tables import FreqTables, cached_freq_tables
 
 _N = C.WINDOW_LEN
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@functools.lru_cache(maxsize=None)
-def _scan_tables(freqs_key: tuple) -> dict:
-    """Per-frequency-grid constant tables (host-side, cached per config)."""
-    freqs = np.asarray(freqs_key, dtype=np.float64)
-    i = np.arange(C.SYNC_CORR_LEN)
-    # B[i, f] = cb42[i] * exp(+2j*pi*f*i/fs)
-    B = C.CB42[:, None] * np.exp(2j * np.pi * freqs[None, :] * i[:, None] / C.SAMPLE_RATE)
-    # E[l, f] = exp(+2j*pi*f*l/fs), phases reduced mod 1 in f64 before complex64
-    l = np.arange(_N)
-    phase = np.mod(np.outer(l, freqs) / C.SAMPLE_RATE, 1.0)
-    E = np.exp(2j * np.pi * phase)
-    # chi_f - 1: wrap correction factor for taps that cross the window end
-    chi = np.exp(-2j * np.pi * freqs * _N / C.SAMPLE_RATE) - 1.0
-    return {
-        "B": B.astype(np.complex64),
-        "E": E.astype(np.complex64),
-        "chi": chi.astype(np.complex64),
-    }
+def _as_tables(freqs) -> FreqTables:
+    """Accept either a static freqs tuple (cached constant tables) or a
+    FreqTables of (possibly sharded, traced) arrays."""
+    if isinstance(freqs, FreqTables):
+        return freqs
+    return cached_freq_tables(tuple(float(f) for f in freqs))
 
 
 def _lag_matrix(c: jnp.ndarray) -> jnp.ndarray:
@@ -83,16 +72,16 @@ def _boundary_matrix(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.asarray(wrapped), c[idx], 0.0 + 0.0j)
 
 
-def sync_correlation(c: jnp.ndarray, freqs: tuple) -> jnp.ndarray:
+def sync_correlation(c: jnp.ndarray, freqs) -> jnp.ndarray:
     """G (N, F) complex64: 42-tap cyclic sync correlation of the wrapped-mixed
-    window at every (lag, frequency)."""
-    t = _scan_tables(freqs)
-    B = jnp.asarray(t["B"])
+    window at every (lag, frequency). `freqs`: tuple or FreqTables."""
+    t = _as_tables(freqs)
+    B = jnp.asarray(t.B)
     cmat = _lag_matrix(c)
     R = jnp.matmul(jnp.conj(cmat), B, precision=_HIGHEST)  # (N, F)
     D = jnp.matmul(jnp.conj(_boundary_matrix(c)), B, precision=_HIGHEST)  # (41, F)
-    R = R.at[_N - (C.SYNC_CORR_LEN - 1) :, :].add(jnp.asarray(t["chi"])[None, :] * D)
-    return jnp.asarray(t["E"]) * R
+    R = R.at[_N - (C.SYNC_CORR_LEN - 1) :, :].add(jnp.asarray(t.chi) * D)
+    return jnp.asarray(t.E) * R
 
 
 def pattern_metrics(G: jnp.ndarray, scan_depth: int) -> jnp.ndarray:
@@ -134,8 +123,9 @@ def select_candidates(xb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pos.astype(jnp.int32), top_xb
 
 
-def scan(c: jnp.ndarray, freqs: tuple, scan_depth: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full scan of one window: returns (pos, xb), each (F, scan_depth, 8)."""
+def scan(c: jnp.ndarray, freqs, scan_depth: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full scan of one window: returns (pos, xb), each (F, scan_depth, 8).
+    `freqs`: static tuple or FreqTables (shardable arrays)."""
     G = sync_correlation(c, freqs)
     xb = pattern_metrics(G, scan_depth)
     return select_candidates(xb)

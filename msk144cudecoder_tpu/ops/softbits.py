@@ -23,18 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from .tables import FreqTables, cached_freq_tables
 
 _N = C.WINDOW_LEN
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@functools.lru_cache(maxsize=None)
-def _mix_table(freqs_key: tuple) -> np.ndarray:
-    """W[f, t] = exp(-2j*pi*f*t/fs) on wrapped indices t in [0, N)."""
-    freqs = np.asarray(freqs_key, dtype=np.float64)
-    t = np.arange(_N)
-    phase = np.mod(np.outer(freqs, t) / C.SAMPLE_RATE, 1.0)
-    return np.exp(-2j * np.pi * phase).astype(np.complex64)
+def _mix_table(freqs) -> jnp.ndarray:
+    """W (F, N): exp(-2j*pi*f*t/fs) on wrapped indices t in [0, N).
+    `freqs`: static tuple or FreqTables (shardable arrays)."""
+    if isinstance(freqs, FreqTables):
+        return freqs.W
+    return cached_freq_tables(tuple(float(f) for f in freqs)).W
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,7 +47,7 @@ def _sync_vec() -> np.ndarray:
     return v.astype(np.complex64)
 
 
-def mix_all(c: jnp.ndarray, freqs: tuple) -> jnp.ndarray:
+def mix_all(c: jnp.ndarray, freqs) -> jnp.ndarray:
     """(F, N) wrapped-mixed signal for every search frequency."""
     return c[None, :] * jnp.asarray(_mix_table(freqs))
 
@@ -104,7 +104,7 @@ def demod(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def demod_candidates(
-    c: jnp.ndarray, freqs: tuple, scan_depth: int, pos: jnp.ndarray
+    c: jnp.ndarray, freqs, scan_depth: int, pos: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One window -> softbits (F, P, 8, 128) and nbadsync (F, P, 8)."""
     z = mix_all(c, freqs)
