@@ -103,13 +103,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # Import JAX lazily so --help stays instant.
     from .runtime import StreamDecoder
+    from .runtime import native
     from .runtime.metrics import SimpleTimer
     from .runtime.stream import window_stream
 
     decoder = StreamDecoder(cfg)
     stdin = sys.stdin.buffer
 
-    for window in window_stream(stdin, cfg.read_mode):
+    # Prefer the native C++ framer (built on demand); NumPy fallback otherwise.
+    if native.available():
+        windows = native.native_window_stream(stdin, cfg.read_mode)
+    else:
+        windows = window_stream(stdin, cfg.read_mode)
+
+    for window in windows:
         timer = SimpleTimer()
         results = decoder.decode_block(window)
         ms = timer.milliseconds_elapsed()
