@@ -57,6 +57,15 @@ class StreamDecoder:
         self.submit(raw_window)
         return self.collect()
 
+    def decode_many(self, raw_batch: np.ndarray,
+                    n_valid: Optional[int] = None) -> List[List[ResultItem]]:
+        """Decode a (B, raw_len) batch in one device call; post-process each
+        window in stream order (SNR EMA and dedup scopes stay sequential).
+        n_valid < B ignores trailing pad windows (batch-tail flush)."""
+        res = jax_to_host(pipeline.decode_raw(np.asarray(raw_batch), self.cfg))
+        n = len(raw_batch) if n_valid is None else n_valid
+        return [self._postprocess_one(res, b) for b in range(n)]
+
     # -- host side --------------------------------------------------------
 
     def _unpack_cached(self, bits77: np.ndarray) -> Tuple[bool, str]:
@@ -72,21 +81,24 @@ class StreamDecoder:
         return out
 
     def _postprocess(self, res) -> List[ResultItem]:
-        # batch of 1: strip the leading axis
-        self.snr_tracker.process_powers(res.block_power[0])
+        return self._postprocess_one(res, 0)
+
+    def _postprocess_one(self, res, b: int) -> List[ResultItem]:
+        """Host post-processing for window b of a batched result."""
+        self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
-        found = np.asarray(res.found[0])
+        found = np.asarray(res.found[b])
         for k in np.nonzero(found)[0]:
-            bits77 = np.asarray(res.message_bits[0][k], dtype=np.int8)
+            bits77 = np.asarray(res.message_bits[b][k], dtype=np.int8)
             ok, text = self._unpack_cached(bits77)
             if not ok:
                 continue
-            fi, pi, _ = pipeline.unpack_candidate_index(self.cfg, int(res.cand_index[0][k]))
+            fi, pi, _ = pipeline.unpack_candidate_index(self.cfg, int(res.cand_index[b][k]))
             self.result_filter.put_message(
                 snr=self.snr_tracker.snr_i,
                 f0=float(self._freqs[fi]),
                 num_avg=int(C.PATTERN_NUM_AVG[pi]),
-                nbadsync=int(res.nbadsync[0][k]),
+                nbadsync=int(res.nbadsync[b][k]),
                 pattern_idx=pi,
                 message=text,
             )

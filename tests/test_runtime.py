@@ -186,3 +186,30 @@ class TestCLI:
         assert "Center Frequency: 1500Hz" in err
         assert "Left Boundary: 1450Hz" in err
         assert "Right Boundary: 1550Hz" in err
+
+
+class TestBatchedStreaming:
+    def test_decode_many_matches_sequential(self):
+        rng = np.random.default_rng(9)
+        a1 = G.synthesize_audio_int16([("CQ K1ABC FN42", 1510.0)], 6, snr_db=10.0, rng=rng)
+        a2 = G.synthesize_audio_int16([("K1ABC W9XYZ R-02", 1490.0)], 6, snr_db=10.0, rng=rng)
+        batch = np.stack([a1, a2])
+
+        seq = StreamDecoder(CFG_SMALL)
+        want = [{r.message for r in seq.decode_block(a1)},
+                {r.message for r in seq.decode_block(a2)}]
+
+        bat = StreamDecoder(CFG_SMALL)
+        got = [{r.message for r in win} for win in bat.decode_many(batch)]
+        assert got == want
+        assert got[0] == {"CQ K1ABC FN42"}
+        assert got[1] == {"K1ABC W9XYZ R-02"}
+
+    def test_decode_many_n_valid_drops_pad(self):
+        rng = np.random.default_rng(10)
+        a = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=rng)
+        batch = np.stack([a, np.zeros_like(a)])
+        dec = StreamDecoder(CFG_SMALL)
+        out = dec.decode_many(batch, n_valid=1)
+        assert len(out) == 1
+        assert {r.message for r in out[0]} == {"CQ K1ABC FN42"}
