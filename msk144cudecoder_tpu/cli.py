@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu, tpu); wins over the "
                         "environment even where JAX_PLATFORMS is overridden")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace to this directory (the "
+                        "TPU analog of the reference's USE_SIMPLE_GPU_TIMER)")
     return p
 
 
@@ -127,6 +130,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         for item in results:
             print(item.format_line(), flush=True)
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
     if cfg.window_batch <= 1:
         for window in windows:
             timer = SimpleTimer()
@@ -154,6 +162,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             for results in decoder.decode_many(np.stack(batch + pad), n_valid=n):
                 emit(results, 0.0, 1)
             emit([], timer.milliseconds_elapsed(), n)
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile_dir}", file=sys.stderr)
 
     print("Done")
     return 0

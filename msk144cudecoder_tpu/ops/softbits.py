@@ -47,6 +47,29 @@ def _sync_vec() -> np.ndarray:
     return v.astype(np.complex64)
 
 
+@functools.lru_cache(maxsize=None)
+def _matched_filter_mats() -> tuple[np.ndarray, np.ndarray]:
+    """Constant tap matrices turning the matched filter into MXU matmuls.
+
+    WQ (864, 72): column q holds pp12 at rows (858 + 12q + i) mod 864 — the
+    Q-rail integration windows (softbits_kernel.cuh:156-171 thread 0-71).
+    WI (864, 72): column q holds pp12 at rows 12q + i — the I-rail windows
+    (threads 72-143). sb_q = imag(d) @ WQ, sb_i = real(d) @ WI.
+
+    A (..., 72, 12) reshape + small einsum would tile the 12-wide axis up to
+    128 lanes on TPU (a ~10x HBM blowup that OOMs the deep scan at batch 16);
+    the (864, 72) matmul form keeps every axis well-tiled and lands on the MXU.
+    """
+    WQ = np.zeros((C.FRAME_LEN, 72), dtype=np.float32)
+    WI = np.zeros((C.FRAME_LEN, 72), dtype=np.float32)
+    pp = C.PP12.astype(np.float32)
+    for q in range(72):
+        for i in range(12):
+            WQ[(858 + 12 * q + i) % C.FRAME_LEN, q] += pp[i]
+            WI[12 * q + i, q] += pp[i]
+    return WQ, WI
+
+
 def mix_all(c: jnp.ndarray, freqs) -> jnp.ndarray:
     """(F, N) wrapped-mixed signal for every search frequency."""
     return c[None, :] * jnp.asarray(_mix_table(freqs))
@@ -81,11 +104,10 @@ def demod(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     cfac = jax.lax.complex(jnp.cos(phase0), -jnp.sin(phase0))
     d = frames * cfac[..., None]
 
-    pp = jnp.asarray(C.PP12.astype(np.float32))
-    im6 = jnp.roll(d.imag, 6, axis=-1)
+    WQ, WI = _matched_filter_mats()
     shape = d.shape[:-1]
-    sb_q = jnp.einsum("...qi,i->...q", im6.reshape(shape + (72, 12)), pp, precision=_HIGHEST)
-    sb_i = jnp.einsum("...qi,i->...q", d.real.reshape(shape + (72, 12)), pp, precision=_HIGHEST)
+    sb_q = jnp.matmul(d.imag, jnp.asarray(WQ), precision=_HIGHEST)
+    sb_i = jnp.matmul(d.real, jnp.asarray(WI), precision=_HIGHEST)
     sb = jnp.stack([sb_q, sb_i], axis=-1).reshape(shape + (144,))
 
     sav = sb.mean(axis=-1, keepdims=True)
