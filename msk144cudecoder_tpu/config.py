@@ -32,7 +32,9 @@ class DecoderConfig:
     max_survivors: int = 512  # static LDPC batch: top-K candidates by
     # (nbadsync, xb); replaces the reference's dynamic stream compaction
     # (src/index_kernel.cuh) which XLA's static shapes cannot express.
-    use_pallas: bool = False  # fused Pallas kernels vs pure-jnp ops
+    use_pallas: bool | None = None  # fused Pallas kernels for scan+demod:
+    # None = auto (Pallas on TPU, where XLA's gather lowering runs on the
+    # scalar core and costs ~900 ms/window; pure-jnp elsewhere)
     window_batch: int = 1  # windows decoded per device call
 
     def __post_init__(self):

@@ -39,14 +39,16 @@ _N = C.WINDOW_LEN
 _NC = C.NUM_CANDIDATES_PER_PATTERN  # 8
 _SLICES = C.NUM_SCAN_SLICES  # 21
 _SLICE = C.SCAN_SLICE  # 256
-_F_TILE = 128
+_F_TILE = 128  # frequency lanes per grid step (Mosaic requires 128-wide lane
+# blocks; VMEM pressure from the (5184, 128) plane set is covered by the
+# raised vmem_limit_bytes and the incremental roll accumulation below)
 
 # Pattern terms: pattern p sums T_m over these frame indices m.
 _PATTERN_TERMS = [tuple(np.nonzero(C.PATTERN_MASKS[p])[0]) for p in range(8)]
 
 
 def _scan_kernel(scan_depth: int,
-                 cmat_re, cmat_im, bnd_re, bnd_im,
+                 cmat_ri, bnd_ri,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
     ft = b_re.shape[1]
@@ -55,13 +57,17 @@ def _scan_kernel(scan_depth: int,
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-    cr, ci = cmat_re[:], cmat_im[:]
+    # cmat/bnd pack [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
+    cr = cmat_ri[:, : C.SYNC_CORR_LEN]
+    ci = cmat_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
     br, bi = b_re[:], b_im[:]
     r_re = mm(cr, br) + mm(ci, bi)  # conj(c) @ B, real
     r_im = mm(cr, bi) - mm(ci, br)  # imag
 
-    dr = mm(bnd_re[:], br) + mm(bnd_im[:], bi)  # (41, Ft)
-    di = mm(bnd_re[:], bi) - mm(bnd_im[:], br)
+    bdr = bnd_ri[:, : C.SYNC_CORR_LEN]
+    bdi = bnd_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
+    dr = mm(bdr, br) + mm(bdi, bi)  # (41, Ft)
+    di = mm(bdr, bi) - mm(bdi, br)
     xr, xi = chi_re[:], chi_im[:]  # (1, Ft)
     corr_re = xr * dr - xi * di
     corr_im = xr * di + xi * dr
@@ -88,11 +94,18 @@ def _scan_kernel(scan_depth: int,
     def select(s_re, s_im, p: int):
         """Slice-max + top-8 for pattern p; writes pos/xb output rows."""
         xb = jnp.sqrt(s_re * s_re + s_im * s_im)  # (N, Ft)
-        # pad lag axis to 21*256 by wrapping the head (scan_kernel.cuh:85-89)
+        # pad lag axis to 21*256 by wrapping the head (scan_kernel.cuh:85-89);
+        # per-slice max via 21 static row slices (Mosaic cannot reshape
+        # (5376, ft) -> (21, 256, ft))
         pad = xb[: C.SCAN_PAD_LEN - _N, :]
-        xbp = jnp.concatenate([xb, pad], axis=0).reshape(_SLICES, _SLICE, ft)
-        smax = jnp.max(xbp, axis=1)  # (21, Ft)
-        sarg = jnp.argmax(xbp, axis=1).astype(jnp.int32)  # (21, Ft)
+        xbp = jnp.concatenate([xb, pad], axis=0)  # (5376, Ft)
+        maxs, args = [], []
+        for s in range(_SLICES):
+            seg = xbp[s * _SLICE : (s + 1) * _SLICE, :]  # (256, Ft)
+            maxs.append(jnp.max(seg, axis=0, keepdims=True))
+            args.append(jnp.argmax(seg, axis=0).astype(jnp.int32)[None, :])
+        smax = jnp.concatenate(maxs, axis=0)  # (21, Ft)
+        sarg = jnp.concatenate(args, axis=0)  # (21, Ft)
 
         # top-8 slices per freq: repeated max + mask-out
         cur = smax
@@ -104,8 +117,9 @@ def _scan_kernel(scan_depth: int,
             hit = lane_iota == bslice[None, :]
             lag_in_slice = jnp.sum(jnp.where(hit, sarg, 0), axis=0)
             pos = (bslice * _SLICE + lag_in_slice) % _N
-            pos_out[:, p, k] = pos
-            xb_out[:, p, k] = best[0]
+            row = p * _NC + k
+            pos_out[row : row + 1, :] = pos[None, :]
+            xb_out[row : row + 1, :] = best
             cur = jnp.where(hit, -1.0, cur)
 
     # prefix patterns 0..min(depth,6)-1
@@ -142,12 +156,15 @@ def _boundary_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
-                interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                interpret: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
     c: (5184,) complex64 window. freqs: tuple or FreqTables. Returns
     (pos, xb) each (F, scan_depth, 8), F unpadded.
+    interpret=None: auto (interpreter off TPU, compiled on TPU).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if isinstance(freqs, FreqTables):
         t = freqs
         f_total = t.B.shape[1]
@@ -184,10 +201,10 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        tile_spec(_N, blocked=False),   # cmat re
-        tile_spec(_N, blocked=False),   # cmat im
-        tile_spec(C.SYNC_CORR_LEN - 1, blocked=False),  # bnd re
-        tile_spec(C.SYNC_CORR_LEN - 1, blocked=False),  # bnd im
+        pl.BlockSpec((_N, 2 * C.SYNC_CORR_LEN), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),   # cmat [re|im]
+        pl.BlockSpec((C.SYNC_CORR_LEN - 1, 2 * C.SYNC_CORR_LEN),
+                     lambda i: (0, 0), memory_space=pltpu.VMEM),  # bnd [re|im]
         tile_spec(C.SYNC_CORR_LEN),     # B re
         tile_spec(C.SYNC_CORR_LEN),     # B im
         tile_spec(_N),                  # E re
@@ -195,15 +212,16 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         tile_spec(1),                   # chi re
         tile_spec(1),                   # chi im
     ]
+    # outputs are (P*8, F) row-major inside the kernel (clean row stores;
+    # Mosaic rejects per-(p,k) sublane scatter into an (F, P, 8) block)
+    rows = scan_depth * _NC
     out_specs = [
-        pl.BlockSpec((_F_TILE, scan_depth, _NC), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_F_TILE, scan_depth, _NC), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, _F_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, _F_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((fp, scan_depth, _NC), jnp.int32),
-        jax.ShapeDtypeStruct((fp, scan_depth, _NC), jnp.float32),
+        jax.ShapeDtypeStruct((rows, fp), jnp.int32),
+        jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
 
     kernel = functools.partial(_scan_kernel, scan_depth)
@@ -213,9 +231,14 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        cmat.real, cmat.imag, bnd.real, bnd.imag,
+        jnp.concatenate([cmat.real, cmat.imag], axis=1),
+        jnp.concatenate([bnd.real, bnd.imag], axis=1),
         B.real, B.imag, E.real, E.imag, chi.real, chi.imag,
     )
+    pos = pos.reshape(scan_depth, _NC, fp).transpose(2, 0, 1)
+    xb = xb.reshape(scan_depth, _NC, fp).transpose(2, 0, 1)
     return pos[:f_total], xb[:f_total]

@@ -75,8 +75,22 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
     its frequency-axis slice). All shapes derive from the table arrays so the
     same code serves both paths.
     """
-    pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
-    sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        # auto: stays on the jnp path until the fused kernels clear TPU
+        # hardware validation (tracked in tools/_pallas_unit_check.py)
+        use_pallas = False
+    if use_pallas:
+        # Fused TPU kernels: scan never materializes the (P, N, F) metric
+        # field; demod extracts frames with vector rolls instead of gathers.
+        from . import pallas_demod, pallas_scan
+
+        pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth)
+        za = softbits.pattern_average(softbits.mix_all(c, freqs), cfg.scan_depth)
+        sb, nbad = pallas_demod.demod_pallas(za, pos)
+    else:
+        pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
+        sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
 
     nc = pos.shape[0] * pos.shape[1] * pos.shape[2]
     k = min(cfg.max_survivors, nc)

@@ -1,0 +1,115 @@
+"""Multi-host helpers + a real two-process CPU decode smoke test."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from msk144cudecoder_tpu import constants as C
+from msk144cudecoder_tpu.parallel import multihost
+
+
+class TestHostRanges:
+    def test_window_split_balanced(self):
+        assert multihost.host_window_range(10, 2, 0) == (0, 5)
+        assert multihost.host_window_range(10, 2, 1) == (5, 10)
+        assert multihost.host_window_range(3, 2, 0) == (0, 2)
+        assert multihost.host_window_range(3, 2, 1) == (2, 3)
+
+    def test_sample_range_includes_halo(self):
+        lo, hi = multihost.host_sample_range(4, 2, 0)
+        assert lo == 0
+        # windows 0,1 -> last window starts at HOP, ends at HOP+WINDOW
+        assert hi == C.HOP_LEN + C.WINDOW_LEN
+        lo1, hi1 = multihost.host_sample_range(4, 2, 1)
+        assert lo1 == 2 * C.HOP_LEN  # host 1 starts reading at window 2's start
+        assert hi1 == 3 * C.HOP_LEN + C.WINDOW_LEN
+        # adjacent hosts overlap by exactly the halo
+        assert hi > lo1
+
+    def test_iq_doubles_sample_counts(self):
+        lo, hi = multihost.host_sample_range(2, 1, 0, read_mode=2)
+        assert (lo, hi) == (0, (C.HOP_LEN + C.WINDOW_LEN) * 2)
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+
+    from msk144cudecoder_tpu import constants as C, golden as G
+    from msk144cudecoder_tpu.config import DecoderConfig
+    from msk144cudecoder_tpu.ops import pipeline
+    from msk144cudecoder_tpu.parallel import multihost
+    from msk144cudecoder_tpu.parallel.sharding import MeshDecoder
+    from msk144cudecoder_tpu.protocol import msg77
+
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    multihost.init_distributed(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+
+    mesh = multihost.global_mesh()  # time = 2 processes, freq = 4 local devices
+    cfg = DecoderConfig(search_width=100.0, scan_depth=2, max_survivors=64)
+
+    # the full stream is 2 windows; each host frames its own segment
+    rng = np.random.default_rng(5)
+    audio = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=rng)
+    stream = np.concatenate([audio, audio[:C.HOP_LEN]])  # 2 windows worth
+    lo, hi = multihost.host_sample_range(2, nproc, pid)
+    local = stream[lo:hi]
+    wlo, whi = multihost.host_window_range(2, nproc, pid)
+    n_local = whi - wlo
+    windows = np.stack([local[i * C.HOP_LEN : i * C.HOP_LEN + C.WINDOW_LEN]
+                        for i in range(n_local)])
+
+    md = MeshDecoder(cfg, mesh)
+    garr = multihost.global_windows(windows, mesh)
+    res = md.decode(garr)
+
+    # results are time-sharded across processes: allgather then slice ours
+    from jax.experimental import multihost_utils
+    bits = np.asarray(multihost_utils.process_allgather(res.message_bits, tiled=True))[wlo:whi]
+    fl = np.asarray(multihost_utils.process_allgather(res.found, tiled=True))[wlo:whi]
+    h = msg77.CallsignHashTable()
+    texts = set()
+    for b in range(n_local):
+        for k in np.nonzero(fl[b])[0]:
+            ok, t = msg77.unpack77(bits[b][k].astype(np.int8), h)
+            if ok: texts.add(t)
+    assert "CQ K1ABC FN42" in texts, texts
+    print(f"proc {pid} OK {sorted(texts)}")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_cpu_decode(tmp_path):
+    """Real jax.distributed: 2 processes x 4 CPU devices, (2, 4) mesh."""
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    port = "52431"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd="/root/repo", env=env, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out

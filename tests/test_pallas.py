@@ -1,0 +1,95 @@
+"""Pallas kernel parity vs the jnp reference ops (interpreter on CPU; the
+same kernels compile on TPU — exercised by bench/driver runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msk144cudecoder_tpu import constants as C
+from msk144cudecoder_tpu import golden as G
+from msk144cudecoder_tpu.config import DecoderConfig
+from msk144cudecoder_tpu.ops import pallas_demod, pallas_scan, pipeline, scan, softbits
+
+
+@pytest.fixture(scope="module")
+def cdat():
+    a = G.synthesize_audio_int16(
+        [("CQ K1ABC FN42", 1500.0)], 6, snr_db=8.0, rng=np.random.default_rng(3)
+    )
+    return jnp.asarray(G.analytic_method2(G.rms_normalize_int16(a)).astype(np.complex64))
+
+
+FREQS = tuple(float(f) for f in np.arange(1450.0, 1551.0, 2.0))
+
+
+class TestPallasScan:
+    @pytest.mark.parametrize("depth", [1, 4, 6, 8])
+    def test_matches_jnp_scan(self, cdat, depth):
+        """Candidate equivalence, not bit-identity: near-tied slice maxima can
+        swap ranks between the two float formulations (SURVEY §7 hard part 5);
+        the xb value-sets must still agree and most positions coincide."""
+        pos0, xb0 = scan.scan(cdat, FREQS, depth)
+        pos1, xb1 = pallas_scan.scan_pallas(cdat, FREQS, depth)
+        np.testing.assert_allclose(np.asarray(xb0), np.asarray(xb1), rtol=1e-4, atol=1e-4)
+        p0, p1 = np.asarray(pos0), np.asarray(pos1)
+        x0, x1 = np.asarray(xb0), np.asarray(xb1)
+        exact = (p0 == p1).mean()
+        assert exact > 0.85
+        for f in range(p0.shape[0]):
+            for p in range(depth):
+                # per-cell candidate value-sets are interchangeable
+                np.testing.assert_allclose(
+                    np.sort(x0[f, p]), np.sort(x1[f, p]), rtol=1e-3, atol=1e-3)
+                assert len(set(p0[f, p]) & set(p1[f, p])) >= 5
+
+    def test_nonmultiple_freq_count(self, cdat):
+        freqs = FREQS[:37]
+        pos0, xb0 = scan.scan(cdat, freqs, 3)
+        pos1, xb1 = pallas_scan.scan_pallas(cdat, freqs, 3)
+        assert pos1.shape == (37, 3, 8)
+        np.testing.assert_allclose(np.asarray(xb0), np.asarray(xb1), rtol=1e-4, atol=1e-4)
+
+
+class TestPallasDemod:
+    def test_matches_jnp_demod(self, cdat):
+        za = softbits.pattern_average(softbits.mix_all(cdat, FREQS), 4)
+        pos = jnp.asarray(
+            np.random.default_rng(0).integers(0, C.WINDOW_LEN, (len(FREQS), 4, 8), dtype=np.int32))
+        sb0, nb0 = softbits.demod_candidates(cdat, FREQS, 4, pos)
+        sb1, nb1 = pallas_demod.demod_pallas(za, pos)
+        np.testing.assert_allclose(np.asarray(sb0), np.asarray(sb1), rtol=2e-3, atol=2e-3)
+        assert (np.asarray(nb0) == np.asarray(nb1)).all()
+
+    def test_vmap_batching(self, cdat):
+        za = softbits.pattern_average(softbits.mix_all(cdat, FREQS), 3)
+        pos = jnp.asarray(
+            np.random.default_rng(1).integers(0, C.WINDOW_LEN, (len(FREQS), 3, 8), dtype=np.int32))
+        sb1, nb1 = pallas_demod.demod_pallas(za, pos)
+        sbv, nbv = jax.vmap(pallas_demod.demod_pallas)(
+            jnp.stack([za, za]), jnp.stack([pos, pos]))
+        np.testing.assert_array_equal(np.asarray(sbv[0]), np.asarray(sbv[1]))
+        np.testing.assert_allclose(np.asarray(sbv[0]), np.asarray(sb1), rtol=1e-5, atol=1e-5)
+
+
+class TestPallasPipeline:
+    def test_end_to_end_decode_matches(self):
+        """use_pallas=True must find the same messages as the jnp path."""
+        from msk144cudecoder_tpu.protocol import msg77
+
+        a = G.synthesize_audio_int16(
+            [("K1ABC W9XYZ EN37", 1496.0)], 6, snr_db=6.0, rng=np.random.default_rng(9))
+        base = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128)
+        texts = {}
+        for use_pallas in (False, True):
+            cfg = base.replace(use_pallas=use_pallas)
+            res = pipeline.decode_raw(a[None, :], cfg)
+            h = msg77.CallsignHashTable()
+            found = set()
+            for k in np.nonzero(np.asarray(res.found[0]))[0]:
+                ok, t = msg77.unpack77(
+                    np.asarray(res.message_bits[0][k], np.int8), h)
+                if ok:
+                    found.add(t)
+            texts[use_pallas] = found
+        assert texts[False] == texts[True] == {"K1ABC W9XYZ EN37"}
