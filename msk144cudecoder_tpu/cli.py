@@ -136,10 +136,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.start_trace(args.profile_dir)
 
     if cfg.window_batch <= 1:
+        # depth-1 pipelining: the next window's device work is dispatched
+        # before we block on the previous one's results, so host post-
+        # processing overlaps device compute (the reference's loop is fully
+        # synchronous, main.cu:468-471).
+        timer = SimpleTimer()
         for window in windows:
+            decoder.submit(window)
+            if decoder.in_flight > 1:
+                emit(decoder.collect(), timer.milliseconds_elapsed(), 1)
+                timer = SimpleTimer()
+        while decoder.in_flight:
+            emit(decoder.collect(), timer.milliseconds_elapsed(), 1)
             timer = SimpleTimer()
-            results = decoder.decode_block(window)
-            emit(results, timer.milliseconds_elapsed(), 1)
     else:
         # Throughput mode: decode window_batch windows per device call.
         # The batch shape is fixed (one jit compile); the stream tail is

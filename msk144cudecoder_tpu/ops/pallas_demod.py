@@ -42,9 +42,10 @@ _N = C.WINDOW_LEN
 _NC = C.NUM_CANDIDATES_PER_PATTERN  # 8
 _FRAME = C.FRAME_LEN  # 864
 _EXT = _N + _FRAME - 1  # za columns incl. cyclic halo (6047)
-# Mosaic's dynamic lane-rotate needs a 128-aligned lane count; the zero pad
-# never reaches the first 864 lanes after a roll by any start <= N-1.
+# Lane pad to a 128 multiple; max aligned chunk start (5120) + chunk (1024)
+# lands exactly at 6144, so any start < N reads only valid halo data.
 _EXT_PAD = -(-_EXT // 128) * 128  # 6144
+_CHUNK = 1024  # aligned slice width: 864 frame + up to 127 residual + pad
 
 
 @functools.lru_cache(maxsize=None)
@@ -87,17 +88,25 @@ def _sync_sign() -> np.ndarray:
 
 
 def _demod_kernel(n_pat: int,
-                  za_re, za_im, pos_ref, m_ref, pq_ref, pi_ref, dsel_ref,
+                  pos_ref, za_re, za_im, m_ref, pq_ref, pi_ref, dsel_ref,
                   ssign_ref, sb_out, nbad_out):
+    fidx = pl.program_id(0)
+    # Frame extraction: Mosaic's dynamic lane ops are restricted — unaligned
+    # dynamic slices are rejected and wide (>~1k lane) dynamic rotates
+    # miscompile (verified on v5e). Decompose start = 128q + r: an aligned
+    # dynamic slice to a 1024-lane chunk (q128 + 1024 <= EXT_PAD for any
+    # start < N), then a residual rotate r < 128 at a narrow, verified shape.
     rows_re = []
     rows_im = []
     for p in range(n_pat):
-        row_re = za_re[0, p : p + 1, :]  # (1, EXT)
-        row_im = za_im[0, p : p + 1, :]
         for k in range(_NC):
-            start = pos_ref[0, p, k]
-            rows_re.append(pltpu.roll(row_re, -start, 1)[:, :_FRAME])
-            rows_im.append(pltpu.roll(row_im, -start, 1)[:, :_FRAME])
+            start = pos_ref[fidx * n_pat * _NC + p * _NC + k]
+            q128 = pl.multiple_of((start // 128) * 128, 128)
+            r = start - q128
+            chunk_re = za_re[p : p + 1, pl.ds(q128, _CHUNK)]  # (1, 1024)
+            chunk_im = za_im[p : p + 1, pl.ds(q128, _CHUNK)]
+            rows_re.append(pltpu.roll(chunk_re, -r, 1)[:, :_FRAME])
+            rows_im.append(pltpu.roll(chunk_im, -r, 1)[:, :_FRAME])
     fr_re = jnp.concatenate(rows_re, axis=0)  # (R, 864), R = n_pat*8
     fr_im = jnp.concatenate(rows_im, axis=0)
 
@@ -133,9 +142,8 @@ def _demod_kernel(n_pat: int,
     nbad = (16.0 - agree) * 0.5  # (R, 1)
 
     sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32)
-    sb_out[0] = sb128.reshape(n_pat, _NC, 128)
-    nbad_out[0] = jnp.broadcast_to(nbad, (n_pat * _NC, 128)).reshape(
-        n_pat, _NC, 128).astype(jnp.int32)
+    sb_out[:, :] = sb128  # (R, 128)
+    nbad_out[:, :] = jnp.broadcast_to(nbad, (n_pat * _NC, 128)).astype(jnp.int32)
 
 
 def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
@@ -150,27 +158,36 @@ def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     F, Pn, _ = za.shape
+    R = Pn * _NC
     za_ext = jnp.concatenate(
         [za, za[..., : _FRAME - 1],
          jnp.zeros(za.shape[:-1] + (_EXT_PAD - _EXT,), za.dtype)], axis=-1)
+    # strictly 2D layouts in-kernel (conservative Mosaic surface); the
+    # pattern axis pads to 8 rows so sublane blocks are 8-divisible
+    pp = 8
+    pad_rows = pp - Pn
+    if pad_rows:
+        za_ext = jnp.concatenate(
+            [za_ext, jnp.zeros((F, pad_rows, _EXT_PAD), za_ext.dtype)], axis=1)
+    za2_re = za_ext.real.reshape(F * pp, _EXT_PAD)
+    za2_im = za_ext.imag.reshape(F * pp, _EXT_PAD)
+    pos_flat = pos.reshape(F * R).astype(jnp.int32)
 
     grid = (F,)
     M = _demod_matrix()
     P_q, P_i, DSEL = _sb_maps()
 
     kernel = functools.partial(_demod_kernel, Pn)
-    const = lambda r, c: pl.BlockSpec((r, c), lambda f: (0, 0),
+    const = lambda r, c: pl.BlockSpec((r, c), lambda f, *_: (0, 0),
                                       memory_space=pltpu.VMEM)
-    sb, nbad128 = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # pos_flat rides SMEM via scalar prefetch
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Pn, _EXT_PAD), lambda f: (f, 0, 0),
+            pl.BlockSpec((pp, _EXT_PAD), lambda f, *_: (f, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pn, _EXT_PAD), lambda f: (f, 0, 0),
+            pl.BlockSpec((pp, _EXT_PAD), lambda f, *_: (f, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pn, _NC), lambda f: (f, 0, 0),
-                         memory_space=pltpu.SMEM),
             const(_FRAME, 148),
             const(72, 144),
             const(72, 144),
@@ -178,17 +195,21 @@ def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
             const(1, 144),
         ],
         out_specs=[
-            pl.BlockSpec((1, Pn, _NC, 128), lambda f: (f, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pn, _NC, 128), lambda f: (f, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda f, *_: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda f, *_: (f, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    sb, nbad128 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((F, Pn, _NC, 128), jnp.float32),
-            jax.ShapeDtypeStruct((F, Pn, _NC, 128), jnp.int32),
+            jax.ShapeDtypeStruct((F * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((F * R, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
-        za_ext.real, za_ext.imag, pos, M, P_q, P_i, DSEL, _sync_sign(),
+        pos_flat, za2_re, za2_im, M, P_q, P_i, DSEL, _sync_sign(),
     )
-    return sb, nbad128[..., 0]
+    sb = sb.reshape(F, Pn, _NC, 128)
+    nbad = nbad128[:, 0].reshape(F, Pn, _NC)
+    return sb, nbad

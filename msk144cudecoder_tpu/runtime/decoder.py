@@ -15,6 +15,7 @@ previous window is a free win on TPU.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -35,21 +36,25 @@ class StreamDecoder:
         self.hashes = msg77.CallsignHashTable()
         self._decode_cache: Dict[bytes, Tuple[bool, str]] = {}
         self._freqs = cfg.freqs
-        self._pending = None  # in-flight WindowDecodeResult
+        self._pending: deque = deque()  # in-flight WindowDecodeResults (FIFO)
 
     # -- device side ------------------------------------------------------
 
     def submit(self, raw_window: np.ndarray) -> None:
-        """Launch the device pipeline on one raw window (async dispatch)."""
-        assert self._pending is None, "collect() the previous window first"
+        """Launch the device pipeline on one raw window (async dispatch).
+        Multiple windows may be in flight; collect() drains them in order."""
         raw = np.asarray(raw_window)[None, :]  # batch of 1
-        self._pending = pipeline.decode_raw(raw, self.cfg)
+        self._pending.append(pipeline.decode_raw(raw, self.cfg))
+
+    @property
+    def in_flight(self) -> int:
+        return len(self._pending)
 
     def collect(self) -> List[ResultItem]:
-        """Block on the in-flight window, post-process, return deduped results."""
-        assert self._pending is not None, "no window submitted"
-        res = jax_to_host(self._pending)
-        self._pending = None
+        """Block on the oldest in-flight window, post-process, return its
+        deduped results."""
+        assert self._pending, "no window submitted"
+        res = jax_to_host(self._pending.popleft())
         return self._postprocess(res)
 
     def decode_block(self, raw_window: np.ndarray) -> List[ResultItem]:
