@@ -35,6 +35,9 @@ class DecoderConfig:
     use_pallas: bool | None = None  # fused Pallas kernels for scan+demod:
     # None = auto (Pallas on TPU, where XLA's gather lowering runs on the
     # scalar core and costs ~900 ms/window; pure-jnp elsewhere)
+    max_results: int = 64  # result slots returned per window: the K-survivor
+    # table is compacted found-first on device so only decodes (plus the best
+    # non-decodes for diagnostics) cross the host link
     window_batch: int = 1  # windows decoded per device call
 
     def __post_init__(self):

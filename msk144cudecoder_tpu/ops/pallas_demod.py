@@ -90,6 +90,8 @@ def _sync_sign() -> np.ndarray:
 def _demod_kernel(n_pat: int,
                   pos_ref, za_re, za_im, m_ref, pq_ref, pi_ref, dsel_ref,
                   ssign_ref, sb_out, nbad_out):
+    import os
+    _stage = int(os.environ.get("MSK144_DEMOD_STAGE", "9"))  # debug bisect
     fidx = pl.program_id(0)
     # Frame extraction: Mosaic's dynamic lane ops are restricted — unaligned
     # dynamic slices are rejected and wide (>~1k lane) dynamic rotates
@@ -110,9 +112,19 @@ def _demod_kernel(n_pat: int,
     fr_re = jnp.concatenate(rows_re, axis=0)  # (R, 864), R = n_pat*8
     fr_im = jnp.concatenate(rows_im, axis=0)
 
+    if _stage <= 1:  # debug: frames only
+        sb_out[:, :] = fr_re[:, :128]
+        nbad_out[:, :] = fr_im[:, :128].astype(jnp.int32)
+        return
+
     M = m_ref[:]  # (864, 148)
     A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32)  # (R, 148)
     Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32)
+
+    if _stage <= 2:  # debug: frames + matmul
+        sb_out[:, :] = A[:, :128]
+        nbad_out[:, :] = Bm[:, :128].astype(jnp.int32)
+        return
 
     # phase: s = sum fr * sv (sv already holds the conjugated template)
     s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1)
@@ -127,6 +139,11 @@ def _demod_kernel(n_pat: int,
     sb_i = c_re * A[:, 72:144] - c_im * Bm[:, 72:144]
     sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32))
+
+    if _stage <= 3:  # debug: + phase/derot/interleave
+        sb_out[:, :] = sb144[:, :128]
+        nbad_out[:, :] = sb144[:, 16:144].astype(jnp.int32)
+        return
 
     # normalization (softbits_kernel.cuh:186-201)
     sav = jnp.mean(sb144, axis=-1, keepdims=True)

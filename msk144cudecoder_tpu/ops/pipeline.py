@@ -108,16 +108,24 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
     llr = sb_f[top_idx]
 
     bp = ldpc.bp_decode(llr, valid)
+
+    # Device-side result compaction: keep only max_results slots, decodes
+    # first (then best remaining survivors for diagnostics). The reference
+    # copies its whole result table to the host every loop
+    # (result_keeper.cuh:123-130); we ship ~R rows instead of K.
+    r = min(cfg.max_results, k)
+    rank = bp.found.astype(jnp.float32) * 1e12 + key[top_idx]
+    _, sel = jax.lax.top_k(rank, r)
     return WindowDecodeResult(
-        cand_index=top_idx,
-        valid=valid,
-        found=bp.found,
-        message_bits=bp.codeword[:, :77],
-        nbadsync=nbad_k,
-        xb=xb_f[top_idx],
-        pos=pos_f[top_idx],
-        ldpc_iterations=bp.iterations,
-        hard_errors=bp.hard_errors,
+        cand_index=top_idx[sel],
+        valid=valid[sel],
+        found=bp.found[sel],
+        message_bits=bp.codeword[sel, :77],
+        nbadsync=nbad_k[sel],
+        xb=xb_f[top_idx][sel],
+        pos=pos_f[top_idx][sel],
+        ldpc_iterations=bp.iterations[sel],
+        hard_errors=bp.hard_errors[sel],
         num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
         block_power=block_powers(c),
     )
