@@ -50,10 +50,12 @@ _CHUNK = 1024  # aligned slice width: 864 frame + up to 127 residual + pad
 
 @functools.lru_cache(maxsize=None)
 def _demod_matrix() -> np.ndarray:
-    """(864, 148) = [WQ | WI | sv_re | sv_im | pad]."""
+    """(864, 256) = [WQ | WI | sv_re | sv_im | zero pad]. All constant blocks
+    are padded to 128-multiple lane widths — odd-width VMEM block DMAs hit
+    unimplemented runtime paths on v5e."""
     WQ, WI = _matched_filter_mats()
     sv = _sync_vec()
-    M = np.zeros((_FRAME, 148), dtype=np.float32)
+    M = np.zeros((_FRAME, 256), dtype=np.float32)
     M[:, 0:72] = WQ
     M[:, 72:144] = WI
     M[:, 144] = sv.real
@@ -66,8 +68,8 @@ def _sb_maps() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-hot layout matrices (no in-kernel gathers):
     P_q/P_i (72, 144): Q/I matmul lanes -> interleaved QIQI... order;
     DSEL (144, 128): interleaved softbits -> the 128 data softbits."""
-    P_q = np.zeros((72, 144), dtype=np.float32)
-    P_i = np.zeros((72, 144), dtype=np.float32)
+    P_q = np.zeros((72, 256), dtype=np.float32)
+    P_i = np.zeros((72, 256), dtype=np.float32)
     for q in range(72):
         P_q[q, 2 * q] = 1.0
         P_i[q, 2 * q + 1] = 1.0
@@ -79,20 +81,18 @@ def _sb_maps() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=None)
 def _sync_sign() -> np.ndarray:
-    """(1, 144) +-1 at the 16 sync-bit positions, 0 elsewhere."""
-    sync_sign = np.zeros(144, dtype=np.float32)
+    """(8, 256) +-1 at the 16 sync-bit positions of row 0's first 144 lanes
+    (shape padded to full tiles for the VMEM block DMA)."""
+    sync_sign = np.zeros((8, 256), dtype=np.float32)
     s8 = C.SYNC_WORD_PM.astype(np.float32)
     for base in (C.FIRST_SYNC_BIT, C.SECOND_SYNC_BIT):
-        sync_sign[base : base + 8] = s8
-    return sync_sign[None, :]
+        sync_sign[0, base : base + 8] = s8
+    return sync_sign
 
 
 def _demod_kernel(n_pat: int,
-                  pos_ref, za_re, za_im, m_ref, pq_ref, pi_ref, dsel_ref,
+                  za_re, za_im, pos_ref, m_ref, pq_ref, pi_ref, dsel_ref,
                   ssign_ref, sb_out, nbad_out):
-    import os
-    _stage = int(os.environ.get("MSK144_DEMOD_STAGE", "9"))  # debug bisect
-    fidx = pl.program_id(0)
     # Frame extraction: Mosaic's dynamic lane ops are restricted — unaligned
     # dynamic slices are rejected and wide (>~1k lane) dynamic rotates
     # miscompile (verified on v5e). Decompose start = 128q + r: an aligned
@@ -102,26 +102,31 @@ def _demod_kernel(n_pat: int,
     rows_im = []
     for p in range(n_pat):
         for k in range(_NC):
-            start = pos_ref[fidx * n_pat * _NC + p * _NC + k]
+            start = pos_ref[0, p * _NC + k]
             q128 = pl.multiple_of((start // 128) * 128, 128)
             r = start - q128
             chunk_re = za_re[p : p + 1, pl.ds(q128, _CHUNK)]  # (1, 1024)
             chunk_im = za_im[p : p + 1, pl.ds(q128, _CHUNK)]
             rows_re.append(pltpu.roll(chunk_re, -r, 1)[:, :_FRAME])
             rows_im.append(pltpu.roll(chunk_im, -r, 1)[:, :_FRAME])
+    import os
+    _stage = int(os.environ.get("MSK144_DEMOD_STAGE", "9"))  # debug bisect
+
     fr_re = jnp.concatenate(rows_re, axis=0)  # (R, 864), R = n_pat*8
     fr_im = jnp.concatenate(rows_im, axis=0)
 
-    if _stage <= 1:  # debug: frames only
+    if _stage <= 1:
         sb_out[:, :] = fr_re[:, :128]
         nbad_out[:, :] = fr_im[:, :128].astype(jnp.int32)
         return
 
-    M = m_ref[:]  # (864, 148)
-    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32)  # (R, 148)
-    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32)
+    M = m_ref[:]  # (864, 256) padded
+    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (R, 256)
+    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
-    if _stage <= 2:  # debug: frames + matmul
+    if _stage <= 2:
         sb_out[:, :] = A[:, :128]
         nbad_out[:, :] = Bm[:, :128].astype(jnp.int32)
         return
@@ -137,10 +142,12 @@ def _demod_kernel(n_pat: int,
     # derotated matched-filter outputs (72 Q | 72 I) -> interleaved 144
     sb_q = c_re * Bm[:, 0:72] + c_im * A[:, 0:72]
     sb_i = c_re * A[:, 72:144] - c_im * Bm[:, 72:144]
-    sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32)
-             + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32))
+    sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))[:, :144]
 
-    if _stage <= 3:  # debug: + phase/derot/interleave
+    if _stage <= 3:
         sb_out[:, :] = sb144[:, :128]
         nbad_out[:, :] = sb144[:, 16:144].astype(jnp.int32)
         return
@@ -152,13 +159,14 @@ def _demod_kernel(n_pat: int,
     scale = 2.0 / (ssig * (C.SOFTBIT_SIGMA ** 2))
 
     # nbadsync = (16 - sum hard*sync_sign)/2 == per-word (8-v)/2 summed
-    ssign = ssign_ref[:]  # (1, 144)
+    ssign = ssign_ref[0:1, :144]  # (1, 144)
     hard = jnp.where(sb144 < 0.0, -1.0, 1.0)
     agree = jnp.sum(jnp.where(ssign != 0.0, hard * ssign, 0.0), axis=-1,
                     keepdims=True)
     nbad = (16.0 - agree) * 0.5  # (R, 1)
 
-    sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32)
+    sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     sb_out[:, :] = sb128  # (R, 128)
     nbad_out[:, :] = jnp.broadcast_to(nbad, (n_pat * _NC, 128)).astype(jnp.int32)
 
@@ -188,7 +196,11 @@ def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
             [za_ext, jnp.zeros((F, pad_rows, _EXT_PAD), za_ext.dtype)], axis=1)
     za2_re = za_ext.real.reshape(F * pp, _EXT_PAD)
     za2_im = za_ext.imag.reshape(F * pp, _EXT_PAD)
-    pos_flat = pos.reshape(F * R).astype(jnp.int32)
+    # positions ride VMEM, one (8, 128) block per frequency with the 48
+    # starts in row 0 (a 24k-entry scalar-prefetch array overflows SMEM)
+    pos_vmem = jnp.zeros((F, pp, 128), jnp.int32)
+    pos_vmem = pos_vmem.at[:, 0, :R].set(pos.reshape(F, R))
+    pos_vmem = pos_vmem.reshape(F * pp, 128)
 
     grid = (F,)
     M = _demod_matrix()
@@ -197,35 +209,33 @@ def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
     kernel = functools.partial(_demod_kernel, Pn)
     const = lambda r, c: pl.BlockSpec((r, c), lambda f, *_: (0, 0),
                                       memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # pos_flat rides SMEM via scalar prefetch
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((pp, _EXT_PAD), lambda f, *_: (f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pp, _EXT_PAD), lambda f, *_: (f, 0),
-                         memory_space=pltpu.VMEM),
-            const(_FRAME, 148),
-            const(72, 144),
-            const(72, 144),
-            const(144, 128),
-            const(1, 144),
-        ],
-        out_specs=[
-            pl.BlockSpec((R, 128), lambda f, *_: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda f, *_: (f, 0), memory_space=pltpu.VMEM),
-        ],
-    )
     sb, nbad128 = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pp, _EXT_PAD), lambda f: (f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pp, _EXT_PAD), lambda f: (f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pp, 128), lambda f: (f, 0),
+                         memory_space=pltpu.VMEM),
+            const(_FRAME, 256),
+            const(72, 256),
+            const(72, 256),
+            const(144, 128),
+            const(8, 256),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((F * R, 128), jnp.float32),
             jax.ShapeDtypeStruct((F * R, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
-        pos_flat, za2_re, za2_im, M, P_q, P_i, DSEL, _sync_sign(),
+        za2_re, za2_im, pos_vmem, M, P_q, P_i, DSEL, _sync_sign(),
     )
     sb = sb.reshape(F, Pn, _NC, 128)
     nbad = nbad128[:, 0].reshape(F, Pn, _NC)

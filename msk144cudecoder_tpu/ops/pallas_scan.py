@@ -55,7 +55,8 @@ def _scan_kernel(scan_depth: int,
 
     # --- G = E * (conj(cmat) @ B + wrap correction) ---------------------
     def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # cmat/bnd pack [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
     cr = cmat_ri[:, : C.SYNC_CORR_LEN]

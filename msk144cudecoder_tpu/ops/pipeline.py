@@ -77,9 +77,10 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
     """
     use_pallas = cfg.use_pallas
     if use_pallas is None:
-        # auto: stays on the jnp path until the fused kernels clear TPU
-        # hardware validation (tracked in tools/_pallas_unit_check.py)
-        use_pallas = False
+        # auto: fused kernels on TPU (validated on v5e hardware — exact
+        # demod parity, scan candidate-set parity; ~250x faster than XLA's
+        # scalar-core gather lowering); pure-jnp elsewhere
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # Fused TPU kernels: scan never materializes the (P, N, F) metric
         # field; demod extracts frames with vector rolls instead of gathers.

@@ -213,3 +213,26 @@ class TestBatchedStreaming:
         out = dec.decode_many(batch, n_valid=1)
         assert len(out) == 1
         assert {r.message for r in out[0]} == {"CQ K1ABC FN42"}
+
+
+class TestResultCompaction:
+    def test_found_rows_lead_and_survive_compaction(self):
+        """With max_results << K, every decode must still be returned
+        (found-first device-side compaction, pipeline.decode_window_tables)."""
+        rng = np.random.default_rng(12)
+        a = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=rng)
+        cfg = CFG_SMALL.replace(max_results=8)
+        dec = StreamDecoder(cfg)
+        res = dec.decode_block(a)
+        assert {r.message for r in res} == {"CQ K1ABC FN42"}
+
+        from msk144cudecoder_tpu.ops import pipeline as pl_mod
+
+        out = pl_mod.decode_raw(a[None, :], cfg)
+        found = np.asarray(out.found[0])
+        assert found.shape == (8,)
+        # found slots are contiguous at the front
+        nf = int(found.sum())
+        assert nf >= 1
+        assert found[:nf].all() and not found[nf:].any()

@@ -2,29 +2,55 @@ import sys; sys.path.insert(0, "/root/repo")
 import numpy as np, time
 import jax, jax.numpy as jnp
 from msk144cudecoder_tpu import constants as C, golden as G
-from msk144cudecoder_tpu.ops import scan, softbits, pallas_scan, pallas_demod
+from msk144cudecoder_tpu.ops import scan, softbits, pallas_scan, pallas_demod, analytic
 which = sys.argv[1]
+# NOTE: complex64 H2D/D2H transfers are UNIMPLEMENTED over the axon tunnel --
+# all complex values must be created and consumed on-device inside jit.
 a = G.synthesize_audio_int16([('CQ K1ABC FN42', 1500.0)], 6, snr_db=8.0, rng=np.random.default_rng(3))
-cdat = jnp.asarray(G.analytic_method2(G.rms_normalize_int16(a)).astype(np.complex64))
+raw = jax.device_put(a)
 freqs = tuple(float(f) for f in np.arange(1250.0, 1751.0, 1.0))
+depth = 6
+rng = np.random.default_rng(0)
+pos_np = rng.integers(0, C.WINDOW_LEN, (len(freqs), depth, 8)).astype(np.int32)
+pos = jax.device_put(pos_np)
+
 if which == 'scan':
-    f = jax.jit(lambda c: sum(jnp.sum(x.astype(jnp.float32)) for x in pallas_scan.scan_pallas(c, freqs, 6)))
-    t0=time.perf_counter(); d = np.asarray(f(cdat)); print(f'scan compile+run {time.perf_counter()-t0:.1f}s')
+    f_p = jax.jit(lambda r: sum(jnp.sum(x.astype(jnp.float32)) for x in
+        pallas_scan.scan_pallas(analytic.analytic_method2(analytic.rms_normalize(r)), freqs, depth)))
+    f_j = jax.jit(lambda r: sum(jnp.sum(x.astype(jnp.float32)) for x in
+        scan.scan(analytic.analytic_method2(analytic.rms_normalize(r)), freqs, depth)))
+    t0=time.perf_counter(); dp = np.asarray(f_p(raw)); print(f'pallas scan compile+run {time.perf_counter()-t0:.1f}s', flush=True)
     t0=time.perf_counter()
-    for _ in range(10): d = np.asarray(f(cdat))
-    print(f'pallas scan: {(time.perf_counter()-t0)/10*1e3:.2f} ms/win (incl ~29ms roundtrip)')
-    p0, x0 = scan.scan(cdat, freqs, 6)
-    p1, x1 = pallas_scan.scan_pallas(cdat, freqs, 6)
-    print('xb close:', np.allclose(np.asarray(x0), np.asarray(x1), rtol=1e-3, atol=1e-3))
+    for _ in range(10): dp = np.asarray(f_p(raw))
+    print(f'pallas scan: {(time.perf_counter()-t0)/10*1e3:.2f} ms/win (incl roundtrip)', flush=True)
+    t0=time.perf_counter(); dj = np.asarray(f_j(raw))
+    for _ in range(10): dj = np.asarray(f_j(raw))
+    print(f'jnp scan:    {(time.perf_counter()-t0)/10*1e3:.2f} ms/win (incl roundtrip)', flush=True)
+    # full-output comparison
+    g_p = jax.jit(lambda r: pallas_scan.scan_pallas(analytic.analytic_method2(analytic.rms_normalize(r)), freqs, depth))
+    g_j = jax.jit(lambda r: scan.scan(analytic.analytic_method2(analytic.rms_normalize(r)), freqs, depth))
+    pp_, xp = [np.asarray(x) for x in g_p(raw)]
+    pj, xj = [np.asarray(x) for x in g_j(raw)]
+    print('xb close:', np.allclose(xp, xj, rtol=1e-3, atol=1e-3), ' pos match:', float((pp_==pj).mean()), flush=True)
 else:
-    za = softbits.pattern_average(softbits.mix_all(cdat, freqs), 6)
-    pos = jnp.asarray(np.random.default_rng(0).integers(0, C.WINDOW_LEN, (len(freqs), 6, 8), dtype=np.int32))
-    f = jax.jit(lambda z, p: sum(jnp.sum(x.astype(jnp.float32)) for x in pallas_demod.demod_pallas(z, p)))
-    t0=time.perf_counter(); d = np.asarray(f(za, pos)); print(f'demod compile+run {time.perf_counter()-t0:.1f}s')
+    def demod_p(r, p):
+        c = analytic.analytic_method2(analytic.rms_normalize(r))
+        za = softbits.pattern_average(softbits.mix_all(c, freqs), depth)
+        return pallas_demod.demod_pallas(za, p)
+    def demod_j(r, p):
+        c = analytic.analytic_method2(analytic.rms_normalize(r))
+        return softbits.demod_candidates(c, freqs, depth, p)
+    f_p = jax.jit(lambda r, p: sum(jnp.sum(x.astype(jnp.float32)) for x in demod_p(r, p)))
+    f_j = jax.jit(lambda r, p: sum(jnp.sum(x.astype(jnp.float32)) for x in demod_j(r, p)))
+    t0=time.perf_counter(); dp = np.asarray(f_p(raw, pos)); print(f'pallas demod compile+run {time.perf_counter()-t0:.1f}s', flush=True)
     t0=time.perf_counter()
-    for _ in range(10): d = np.asarray(f(za, pos))
-    print(f'pallas demod: {(time.perf_counter()-t0)/10*1e3:.2f} ms/win (incl ~29ms roundtrip)')
-    sb0, nb0 = softbits.demod_candidates(cdat, freqs, 6, pos)
-    sb1, nb1 = pallas_demod.demod_pallas(za, pos)
-    print('sb close:', np.allclose(np.asarray(sb0), np.asarray(sb1), rtol=5e-3, atol=5e-3),
-          ' nbad:', float((np.asarray(nb0)==np.asarray(nb1)).mean()))
+    for _ in range(10): dp = np.asarray(f_p(raw, pos))
+    print(f'pallas demod: {(time.perf_counter()-t0)/10*1e3:.2f} ms/win (incl roundtrip)', flush=True)
+    t0=time.perf_counter(); dj = np.asarray(f_j(raw, pos))
+    t0=time.perf_counter()
+    for _ in range(3): dj = np.asarray(f_j(raw, pos))
+    print(f'jnp demod:    {(time.perf_counter()-t0)/3*1e3:.2f} ms/win (incl roundtrip)', flush=True)
+    g_p = jax.jit(demod_p); g_j = jax.jit(demod_j)
+    sbp, nbp = [np.asarray(x) for x in g_p(raw, pos)]
+    sbj, nbj = [np.asarray(x) for x in g_j(raw, pos)]
+    print('sb close:', np.allclose(sbp, sbj, rtol=5e-3, atol=5e-3), ' nbad match:', float((nbp==nbj).mean()), flush=True)
