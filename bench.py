@@ -73,10 +73,13 @@ def main() -> int:
     # sanity: the planted message must decode
     assert bool(np.asarray(res.found[0]).any()), "bench stimulus failed to decode"
 
+    # Fetch the (compacted) found flags every iteration: a bare
+    # block_until_ready can report enqueue time rather than execution time
+    # on tunneled runtimes, and a real consumer reads results per window.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         res = pipeline.decode_raw(raw_dev, cfg)
-    jax.block_until_ready(res)
+        found = np.asarray(res.found)
     elapsed = time.perf_counter() - t0
 
     per_window_s = elapsed / (args.iters * args.batch)

@@ -2,27 +2,29 @@
 
 The jnp demod (ops/softbits.py) gathers a cyclic 864-sample frame per
 candidate with take_along_axis; XLA lowers that to scalar-core gathers which
-measured ~900 ms/window on the deep scan — the entire pipeline budget. Here
-each frame is extracted with a dynamic lane-roll (vector shift; Mosaic
-forbids unaligned dynamic lane slices but supports dynamic rotates), and
-everything downstream of the extraction is one MXU matmul pair per
-(frequency) grid step covering all patterns x 8 candidates.
+measured ~900 ms/window on the deep scan — the entire pipeline budget.
 
-Per candidate the math is identical to softbits.demod (and the reference
-/root/reference/src/softbits_kernel.cuh:9-248):
+This kernel fuses THREE stages for each (window, frequency) grid step:
+  1. pattern averaging — the (F, P, N) ZA array the jnp path materializes in
+     HBM never exists here: a candidate's averaged frame is built in VMEM as
+     frame_p(t) = sum_m mask_p[m] * z((pos + t + 864 m) mod N)
+     from the doubled mixed signal z_ext = [z | z] (cyclic indexing becomes
+     plain slicing; max index pos + 863 + 864*5 < 2N).
+  2. frame extraction — Mosaic's dynamic lane ops are restricted (unaligned
+     dynamic slices rejected; wide dynamic rotates miscompile on v5e), so
+     start = 128 q + r decomposes into a 128-aligned dynamic slice of a
+     1024-lane chunk plus a residual rotate r < 128 at a narrow shape.
+  3. demod math — identical to softbits.demod and the reference
+     (/root/reference/src/softbits_kernel.cuh:9-248): carrier phase from the
+     sync template, derotation (commuted through the matched filter:
+     sb_q = c_re*(fr_im@WQ) + c_im*(fr_re@WQ) etc.), 144 matched-filter
+     softbits via one (R, 864) x (864, 256) MXU matmul pair per frequency
+     (R = patterns x 8; the phase sum rides as two extra matrix columns),
+     normalization, and nbadsync.
 
-  s      = sum_t frame(t) * sv(t)                carrier phase estimate
-           (sv = conj(cb42) on both sync regions)
-  d      = frame * conj(s)/|s|                   derotation
-  sb_q   = imag(d) @ WQ ; sb_i = real(d) @ WI    144 matched-filter softbits
-  scale  = 2 / (sigma(sb) * 0.6^2)               normalization
-  nbad   = hard sync-bit mismatches
-
-Derotation is linear, so it commutes with the matched filter:
-  sb_q = c_re*(fr_im @ WQ) + c_im*(fr_re @ WQ)
-  sb_i = c_re*(fr_re @ WI) - c_im*(fr_im @ WI)
-and s itself is two extra columns (sv_re, sv_im) of the same matmul: one
-(R, 864) x (864, 148) matmul pair per frequency, R = patterns x 8.
+All in-kernel dots use Precision.HIGHEST (parity with the jnp path); all
+constant blocks are padded to 128-multiple lane widths; candidate positions
+ride VMEM blocks (scalar-prefetch arrays of this size overflow SMEM).
 """
 
 from __future__ import annotations
@@ -41,18 +43,19 @@ from .softbits import _matched_filter_mats, _sync_vec
 _N = C.WINDOW_LEN
 _NC = C.NUM_CANDIDATES_PER_PATTERN  # 8
 _FRAME = C.FRAME_LEN  # 864
-_EXT = _N + _FRAME - 1  # za columns incl. cyclic halo (6047)
-# Lane pad to a 128 multiple; max aligned chunk start (5120) + chunk (1024)
-# lands exactly at 6144, so any start < N reads only valid halo data.
-_EXT_PAD = -(-_EXT // 128) * 128  # 6144
-_CHUNK = 1024  # aligned slice width: 864 frame + up to 127 residual + pad
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# doubled window: cyclic index pos + 863 + 864*5 < 2N for any pos < N;
+# the aligned chunk slice needs floor(max_start/128)*128 + 1024 lanes
+_MAX_START = (_N - 1) + 864 * 5
+_CHUNK = 1024
+_Z_EXT = (_MAX_START // 128) * 128 + _CHUNK  # 10496, a 128 multiple
+assert _Z_EXT % 128 == 0 and _Z_EXT >= 2 * _N
 
 
 @functools.lru_cache(maxsize=None)
 def _demod_matrix() -> np.ndarray:
-    """(864, 256) = [WQ | WI | sv_re | sv_im | zero pad]. All constant blocks
-    are padded to 128-multiple lane widths — odd-width VMEM block DMAs hit
-    unimplemented runtime paths on v5e."""
+    """(864, 256) = [WQ | WI | sv_re | sv_im | zero pad]."""
     WQ, WI = _matched_filter_mats()
     sv = _sync_vec()
     M = np.zeros((_FRAME, 256), dtype=np.float32)
@@ -66,7 +69,7 @@ def _demod_matrix() -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _sb_maps() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-hot layout matrices (no in-kernel gathers):
-    P_q/P_i (72, 144): Q/I matmul lanes -> interleaved QIQI... order;
+    P_q/P_i (72, 256): Q/I matmul lanes -> interleaved QIQI... order;
     DSEL (144, 128): interleaved softbits -> the 128 data softbits."""
     P_q = np.zeros((72, 256), dtype=np.float32)
     P_i = np.zeros((72, 256), dtype=np.float32)
@@ -81,8 +84,7 @@ def _sb_maps() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=None)
 def _sync_sign() -> np.ndarray:
-    """(8, 256) +-1 at the 16 sync-bit positions of row 0's first 144 lanes
-    (shape padded to full tiles for the VMEM block DMA)."""
+    """(8, 256) +-1 at the 16 sync-bit positions of row 0, zero elsewhere."""
     sync_sign = np.zeros((8, 256), dtype=np.float32)
     s8 = C.SYNC_WORD_PM.astype(np.float32)
     for base in (C.FIRST_SYNC_BIT, C.SECOND_SYNC_BIT):
@@ -90,46 +92,44 @@ def _sync_sign() -> np.ndarray:
     return sync_sign
 
 
-def _demod_kernel(n_pat: int,
-                  za_re, za_im, pos_ref, m_ref, pq_ref, pi_ref, dsel_ref,
-                  ssign_ref, sb_out, nbad_out):
-    # Frame extraction: Mosaic's dynamic lane ops are restricted — unaligned
-    # dynamic slices are rejected and wide (>~1k lane) dynamic rotates
-    # miscompile (verified on v5e). Decompose start = 128q + r: an aligned
-    # dynamic slice to a 1024-lane chunk (q128 + 1024 <= EXT_PAD for any
-    # start < N), then a residual rotate r < 128 at a narrow, verified shape.
+def _demod_kernel(n_pat: int, f_group: int,
+                  c_re, c_im, w_re, w_im, pos_ref, m_ref, pq_ref, pi_ref,
+                  dsel_ref, ssign_ref, sb_out, nbad_out, z_re, z_im):
+    # mix the window down by this step's 8 carrier rows entirely in VMEM:
+    # z = c * W with W = exp(-2j pi f t / fs) (softbits.mix_all semantics);
+    # the (F, 2N) mixed field never touches HBM
+    cr = c_re[0:1, :]
+    ci = c_im[0:1, :]
+    z_re[:, :] = cr * w_re[:, :] - ci * w_im[:, :]
+    z_im[:, :] = cr * w_im[:, :] + ci * w_re[:, :]
+
+    def chunk(ref, fi, start):
+        """(1, 864) slice [start : start+864] of freq fi's doubled row."""
+        q128 = pl.multiple_of((start // 128) * 128, 128)
+        r = start - q128
+        piece = ref[fi : fi + 1, pl.ds(q128, _CHUNK)]
+        return pltpu.roll(piece, -r, 1)[:, :_FRAME]
+
     rows_re = []
     rows_im = []
-    for p in range(n_pat):
-        for k in range(_NC):
-            start = pos_ref[0, p * _NC + k]
-            q128 = pl.multiple_of((start // 128) * 128, 128)
-            r = start - q128
-            chunk_re = za_re[p : p + 1, pl.ds(q128, _CHUNK)]  # (1, 1024)
-            chunk_im = za_im[p : p + 1, pl.ds(q128, _CHUNK)]
-            rows_re.append(pltpu.roll(chunk_re, -r, 1)[:, :_FRAME])
-            rows_im.append(pltpu.roll(chunk_im, -r, 1)[:, :_FRAME])
-    import os
-    _stage = int(os.environ.get("MSK144_DEMOD_STAGE", "9"))  # debug bisect
-
-    fr_re = jnp.concatenate(rows_re, axis=0)  # (R, 864), R = n_pat*8
+    for fi in range(f_group):
+        for p in range(n_pat):
+            frames_m = tuple(int(m) for m in np.nonzero(C.PATTERN_MASKS[p])[0])
+            for k in range(_NC):
+                start = pos_ref[fi, p * _NC + k]
+                fre = chunk(z_re, fi, start + 864 * frames_m[0])
+                fim = chunk(z_im, fi, start + 864 * frames_m[0])
+                for m in frames_m[1:]:
+                    fre = fre + chunk(z_re, fi, start + 864 * m)
+                    fim = fim + chunk(z_im, fi, start + 864 * m)
+                rows_re.append(fre)
+                rows_im.append(fim)
+    fr_re = jnp.concatenate(rows_re, axis=0)  # (f_group*R, 864)
     fr_im = jnp.concatenate(rows_im, axis=0)
 
-    if _stage <= 1:
-        sb_out[:, :] = fr_re[:, :128]
-        nbad_out[:, :] = fr_im[:, :128].astype(jnp.int32)
-        return
-
     M = m_ref[:]  # (864, 256) padded
-    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (R, 256)
-    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-
-    if _stage <= 2:
-        sb_out[:, :] = A[:, :128]
-        nbad_out[:, :] = Bm[:, :128].astype(jnp.int32)
-        return
+    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32, precision=_HIGHEST)
+    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32, precision=_HIGHEST)
 
     # phase: s = sum fr * sv (sv already holds the conjugated template)
     s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1)
@@ -143,14 +143,9 @@ def _demod_kernel(n_pat: int,
     sb_q = c_re * Bm[:, 0:72] + c_im * A[:, 0:72]
     sb_i = c_re * A[:, 72:144] - c_im * Bm[:, 72:144]
     sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                     precision=_HIGHEST)
              + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))[:, :144]
-
-    if _stage <= 3:
-        sb_out[:, :] = sb144[:, :128]
-        nbad_out[:, :] = sb144[:, 16:144].astype(jnp.int32)
-        return
+                       precision=_HIGHEST))[:, :144]
 
     # normalization (softbits_kernel.cuh:186-201)
     sav = jnp.mean(sb144, axis=-1, keepdims=True)
@@ -166,59 +161,91 @@ def _demod_kernel(n_pat: int,
     nbad = (16.0 - agree) * 0.5  # (R, 1)
 
     sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    sb_out[:, :] = sb128  # (R, 128)
-    nbad_out[:, :] = jnp.broadcast_to(nbad, (n_pat * _NC, 128)).astype(jnp.int32)
+                            precision=_HIGHEST)
+    sb_out[:, :] = sb128  # (f_group*R, 128)
+    nbad_out[:, :] = jnp.broadcast_to(
+        nbad, (f_group * n_pat * _NC, 128)).astype(jnp.int32)
 
 
-def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
+@functools.lru_cache(maxsize=None)
+def _w2_tables(freqs_key: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Doubled mix table (Fp, _Z_EXT) re/im: W2[f, t] = exp(-2j pi f (t mod N)
+    / fs) for t < 2N, zero-padded — a jit constant, built once per config."""
+    freqs = np.asarray(freqs_key, dtype=np.float64)
+    FG = 8
+    Fp = len(freqs) + (-len(freqs) % FG)
+    t = np.arange(_N)
+    phase = np.mod(np.outer(freqs, t) / C.SAMPLE_RATE, 1.0)
+    W = np.exp(-2j * np.pi * phase)
+    W2 = np.zeros((Fp, _Z_EXT), dtype=np.complex64)
+    W2[: len(freqs), :_N] = W
+    W2[: len(freqs), _N : 2 * _N] = W
+    return np.ascontiguousarray(W2.real.astype(np.float32)), \
+        np.ascontiguousarray(W2.imag.astype(np.float32))
+
+
+def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
                  interpret: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-window demod of all candidates (vmap-batchable).
 
-    za: (F, P, N) complex64 pattern-averaged mixed signal
-    pos: (F, P, 8) int32 candidate positions in [0, N)
+    c: (N,) complex64 analytic window (the per-frequency mix-down happens
+       in-kernel against the constant carrier table — softbits.mix_all and
+       pattern_average semantics without either array touching HBM).
+    freqs: static tuple of search frequencies (or tables.FreqTables, from
+       which only the frequency count/grid is used via its W table).
+    pos: (F, P, 8) int32 candidate positions in [0, N).
     Returns (softbits (F, P, 8, 128) f32, nbadsync (F, P, 8) i32).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
     """
+    from .tables import FreqTables
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    F, Pn, _ = za.shape
+    _, Pn, _ = pos.shape
+    F = pos.shape[0]
     R = Pn * _NC
-    za_ext = jnp.concatenate(
-        [za, za[..., : _FRAME - 1],
-         jnp.zeros(za.shape[:-1] + (_EXT_PAD - _EXT,), za.dtype)], axis=-1)
-    # strictly 2D layouts in-kernel (conservative Mosaic surface); the
-    # pattern axis pads to 8 rows so sublane blocks are 8-divisible
-    pp = 8
-    pad_rows = pp - Pn
-    if pad_rows:
-        za_ext = jnp.concatenate(
-            [za_ext, jnp.zeros((F, pad_rows, _EXT_PAD), za_ext.dtype)], axis=1)
-    za2_re = za_ext.real.reshape(F * pp, _EXT_PAD)
-    za2_im = za_ext.imag.reshape(F * pp, _EXT_PAD)
-    # positions ride VMEM, one (8, 128) block per frequency with the 48
-    # starts in row 0 (a 24k-entry scalar-prefetch array overflows SMEM)
-    pos_vmem = jnp.zeros((F, pp, 128), jnp.int32)
-    pos_vmem = pos_vmem.at[:, 0, :R].set(pos.reshape(F, R))
-    pos_vmem = pos_vmem.reshape(F * pp, 128)
+    FG = 8  # frequencies per grid step (sublane-aligned blocks, fat matmuls)
+    f_pad = -F % FG
+    Fp = F + f_pad
 
-    grid = (F,)
+    if isinstance(freqs, FreqTables):
+        # sharded path: W arrives as a traced array; double it in-graph
+        W = freqs.W
+        W2 = jnp.concatenate(
+            [W, W, jnp.zeros((F, _Z_EXT - 2 * _N), W.dtype)], axis=-1)
+        if f_pad:
+            W2 = jnp.concatenate(
+                [W2, jnp.zeros((f_pad, _Z_EXT), W.dtype)], axis=0)
+        w_re, w_im = W2.real, W2.imag
+    else:
+        w_re, w_im = (jnp.asarray(a) for a in
+                      _w2_tables(tuple(float(f) for f in freqs)))
+
+    # the window, doubled, replicated into an 8-sublane block
+    c_ext = jnp.concatenate([c, c, jnp.zeros((_Z_EXT - 2 * _N,), c.dtype)])
+    c_re = jnp.broadcast_to(c_ext.real[None, :], (8, _Z_EXT))
+    c_im = jnp.broadcast_to(c_ext.imag[None, :], (8, _Z_EXT))
+
+    # positions ride VMEM, row f = freq f's R starts (a scalar-prefetch
+    # array this size overflows SMEM)
+    pos_vmem = jnp.zeros((Fp, 128), jnp.int32)
+    pos_vmem = pos_vmem.at[:F, :R].set(pos.reshape(F, R))
+
     M = _demod_matrix()
     P_q, P_i, DSEL = _sb_maps()
 
-    kernel = functools.partial(_demod_kernel, Pn)
-    const = lambda r, c: pl.BlockSpec((r, c), lambda f, *_: (0, 0),
-                                      memory_space=pltpu.VMEM)
+    kernel = functools.partial(_demod_kernel, Pn, FG)
+    const = lambda r, cc: pl.BlockSpec((r, cc), lambda f: (0, 0),
+                                       memory_space=pltpu.VMEM)
     sb, nbad128 = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(Fp // FG,),
         in_specs=[
-            pl.BlockSpec((pp, _EXT_PAD), lambda f: (f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pp, _EXT_PAD), lambda f: (f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pp, 128), lambda f: (f, 0),
-                         memory_space=pltpu.VMEM),
+            const(8, _Z_EXT),  # c re (replicated)
+            const(8, _Z_EXT),  # c im
+            pl.BlockSpec((FG, _Z_EXT), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FG, _Z_EXT), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FG, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
             const(_FRAME, 256),
             const(72, 256),
             const(72, 256),
@@ -226,17 +253,23 @@ def demod_pallas(za: jnp.ndarray, pos: jnp.ndarray,
             const(8, 256),
         ],
         out_specs=[
-            pl.BlockSpec((R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FG * R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FG * R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((F * R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((F * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Fp * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Fp * R, 128), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z re
+            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
-        za2_re, za2_im, pos_vmem, M, P_q, P_i, DSEL, _sync_sign(),
+        c_re, c_im, w_re, w_im, pos_vmem, M, P_q, P_i, DSEL, _sync_sign(),
     )
-    sb = sb.reshape(F, Pn, _NC, 128)
-    nbad = nbad128[:, 0].reshape(F, Pn, _NC)
+    sb = sb.reshape(Fp, Pn, _NC, 128)[:F]
+    nbad = nbad128[:, 0].reshape(Fp, Pn, _NC)[:F]
     return sb, nbad

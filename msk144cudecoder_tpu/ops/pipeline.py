@@ -87,8 +87,9 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
         from . import pallas_demod, pallas_scan
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth)
-        za = softbits.pattern_average(softbits.mix_all(c, freqs), cfg.scan_depth)
-        sb, nbad = pallas_demod.demod_pallas(za, pos)
+        # mix-down AND pattern averaging both happen inside the demod
+        # kernel; neither field ever touches HBM
+        sb, nbad = pallas_demod.demod_pallas(c, freqs, pos)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
         sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)

@@ -53,21 +53,19 @@ class TestPallasScan:
 
 class TestPallasDemod:
     def test_matches_jnp_demod(self, cdat):
-        za = softbits.pattern_average(softbits.mix_all(cdat, FREQS), 4)
         pos = jnp.asarray(
             np.random.default_rng(0).integers(0, C.WINDOW_LEN, (len(FREQS), 4, 8), dtype=np.int32))
         sb0, nb0 = softbits.demod_candidates(cdat, FREQS, 4, pos)
-        sb1, nb1 = pallas_demod.demod_pallas(za, pos)
+        sb1, nb1 = pallas_demod.demod_pallas(cdat, FREQS, pos)
         np.testing.assert_allclose(np.asarray(sb0), np.asarray(sb1), rtol=2e-3, atol=2e-3)
         assert (np.asarray(nb0) == np.asarray(nb1)).all()
 
     def test_vmap_batching(self, cdat):
-        za = softbits.pattern_average(softbits.mix_all(cdat, FREQS), 3)
         pos = jnp.asarray(
             np.random.default_rng(1).integers(0, C.WINDOW_LEN, (len(FREQS), 3, 8), dtype=np.int32))
-        sb1, nb1 = pallas_demod.demod_pallas(za, pos)
-        sbv, nbv = jax.vmap(pallas_demod.demod_pallas)(
-            jnp.stack([za, za]), jnp.stack([pos, pos]))
+        sb1, nb1 = pallas_demod.demod_pallas(cdat, FREQS, pos)
+        sbv, nbv = jax.vmap(lambda cc, pp: pallas_demod.demod_pallas(cc, FREQS, pp))(
+            jnp.stack([cdat, cdat]), jnp.stack([pos, pos]))
         np.testing.assert_array_equal(np.asarray(sbv[0]), np.asarray(sbv[1]))
         np.testing.assert_allclose(np.asarray(sbv[0]), np.asarray(sb1), rtol=1e-5, atol=1e-5)
 

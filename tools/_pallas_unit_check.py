@@ -35,8 +35,7 @@ if which == 'scan':
 else:
     def demod_p(r, p):
         c = analytic.analytic_method2(analytic.rms_normalize(r))
-        za = softbits.pattern_average(softbits.mix_all(c, freqs), depth)
-        return pallas_demod.demod_pallas(za, p)
+        return pallas_demod.demod_pallas(c, freqs, p)
     def demod_j(r, p):
         c = analytic.analytic_method2(analytic.rms_normalize(r))
         return softbits.demod_candidates(c, freqs, depth, p)
