@@ -94,7 +94,8 @@ def _sync_sign() -> np.ndarray:
 
 def _demod_kernel(n_pat: int, f_group: int,
                   c_re, c_im, w_re, w_im, pos_ref, m_ref, pq_ref, pi_ref,
-                  dsel_ref, ssign_ref, sb_out, nbad_out, z_re, z_im):
+                  dsel_ref, ssign_ref, sb_out, nbad_out,
+                  z_re, z_im, acc_re, acc_im):
     # mix the window down by this step's 8 carrier rows entirely in VMEM:
     # z = c * W with W = exp(-2j pi f t / fs) (softbits.mix_all semantics);
     # the (F, 2N) mixed field never touches HBM
@@ -104,28 +105,45 @@ def _demod_kernel(n_pat: int, f_group: int,
     z_im[:, :] = cr * w_im[:, :] + ci * w_re[:, :]
 
     def chunk(ref, fi, start):
-        """(1, 864) slice [start : start+864] of freq fi's doubled row."""
+        """(1, 864) slice [start : start+864] of freq fi's averaged row."""
         q128 = pl.multiple_of((start // 128) * 128, 128)
         r = start - q128
         piece = ref[fi : fi + 1, pl.ds(q128, _CHUNK)]
         return pltpu.roll(piece, -r, 1)[:, :_FRAME]
 
-    rows_re = []
-    rows_im = []
-    for fi in range(f_group):
-        for p in range(n_pat):
-            frames_m = tuple(int(m) for m in np.nonzero(C.PATTERN_MASKS[p])[0])
+    # Pattern-averaged rows accumulate in VMEM (softbits.pattern_average
+    # semantics): static full-width rolls at full vreg utilization, prefix
+    # reuse for patterns 0..5; each candidate then needs only ONE chunk
+    # extraction instead of |mask| of them. The roll never wraps garbage
+    # into readable lanes: u + 864 m <= 10367 < _Z_EXT for u <= N+863.
+    rows_re = [[None] * (n_pat * _NC) for _ in range(f_group)]
+    rows_im = [[None] * (n_pat * _NC) for _ in range(f_group)]
+
+    def extract(p):
+        for fi in range(f_group):
             for k in range(_NC):
                 start = pos_ref[fi, p * _NC + k]
-                fre = chunk(z_re, fi, start + 864 * frames_m[0])
-                fim = chunk(z_im, fi, start + 864 * frames_m[0])
-                for m in frames_m[1:]:
-                    fre = fre + chunk(z_re, fi, start + 864 * m)
-                    fim = fim + chunk(z_im, fi, start + 864 * m)
-                rows_re.append(fre)
-                rows_im.append(fim)
-    fr_re = jnp.concatenate(rows_re, axis=0)  # (f_group*R, 864)
-    fr_im = jnp.concatenate(rows_im, axis=0)
+                rows_re[fi][p * _NC + k] = chunk(acc_re, fi, start)
+                rows_im[fi][p * _NC + k] = chunk(acc_im, fi, start)
+
+    acc_re[:, :] = z_re[:, :]
+    acc_im[:, :] = z_im[:, :]
+    extract(0)
+    for p in range(1, min(n_pat, 6)):
+        acc_re[:, :] = acc_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * p, 1)
+        acc_im[:, :] = acc_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * p, 1)
+        extract(p)
+    if n_pat >= 7:  # gap pattern 6: frames {0, 3}
+        acc_re[:, :] = z_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * 3, 1)
+        acc_im[:, :] = z_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * 3, 1)
+        extract(6)
+        if n_pat >= 8:  # gap pattern 7: frames {0, 3, 4}
+            acc_re[:, :] = acc_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * 4, 1)
+            acc_im[:, :] = acc_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * 4, 1)
+            extract(7)
+
+    fr_re = jnp.concatenate([r for fr in rows_re for r in fr], axis=0)
+    fr_im = jnp.concatenate([r for fr in rows_im for r in fr], axis=0)
 
     M = m_ref[:]  # (864, 256) padded
     A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32, precision=_HIGHEST)
@@ -263,6 +281,8 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z re
             pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z im
+            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # pattern-averaged re
+            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # pattern-averaged im
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -108,6 +108,14 @@ ROUNDTRIP_MESSAGES = [
     "3XA1AB K1ABC -05",
     "A45XR W9XYZ +10",
     "K1ABC W9XYZ R FN42",
+    "K1ABC W9XYZ RR73",
+    "K1ABC W9XYZ RRR",
+    "K1ABC W9XYZ 73",
+    "CQ DX K1ABC FN42",
+    "CQ TEST K1ABC FN42",
+    "K1ABC W9XYZ R-07",
+    "W9XYZ <PJ4/K1ABC> -11",
+    "<PJ4/K1ABC> W9XYZ R-09",
 ]
 
 
