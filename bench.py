@@ -26,6 +26,8 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=8, help="timed iterations")
     p.add_argument("--quick", action="store_true",
                    help="small config for CI/CPU smoke runs")
+    p.add_argument("--fast-math", action="store_true",
+                   help="relaxed MXU precision (reference USE_FAST_MATH analog)")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args()
 
@@ -41,10 +43,12 @@ def main() -> int:
     from msk144cudecoder_tpu.ops import pipeline
 
     if args.quick:
-        cfg = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128)
+        cfg = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128,
+                            fast_math=args.fast_math)
     else:
         cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
-                            nbadsync_threshold=3, max_survivors=512)
+                            nbadsync_threshold=3, max_survivors=512,
+                            fast_math=args.fast_math)
 
     rng = np.random.default_rng(0)
     msg_audio = G.synthesize_audio_int16(

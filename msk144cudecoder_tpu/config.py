@@ -38,6 +38,12 @@ class DecoderConfig:
     max_results: int = 64  # result slots returned per window: the K-survivor
     # table is compacted found-first on device so only decodes (plus the best
     # non-decodes for diagnostics) cross the host link
+    fast_math: bool = False  # default MXU precision (bf16 passes) in the
+    # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
+    # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).
+    # Softbit LLRs lose ~2 decimal digits; decode sensitivity is nearly
+    # unchanged (BP is decoding noise anyway) but exact jnp parity is not
+    # guaranteed
     window_batch: int = 1  # windows decoded per device call
 
     def __post_init__(self):

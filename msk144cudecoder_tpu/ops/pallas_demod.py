@@ -92,7 +92,7 @@ def _sync_sign() -> np.ndarray:
     return sync_sign
 
 
-def _demod_kernel(n_pat: int, f_group: int,
+def _demod_kernel(n_pat: int, f_group: int, prec,
                   c_re, c_im, w_re, w_im, pos_ref, m_ref, pq_ref, pi_ref,
                   dsel_ref, ssign_ref, sb_out, nbad_out,
                   z_re, z_im, acc_re, acc_im):
@@ -146,8 +146,8 @@ def _demod_kernel(n_pat: int, f_group: int,
     fr_im = jnp.concatenate([r for fr in rows_im for r in fr], axis=0)
 
     M = m_ref[:]  # (864, 256) padded
-    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32, precision=_HIGHEST)
-    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32, precision=_HIGHEST)
+    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32, precision=prec)
+    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32, precision=prec)
 
     # phase: s = sum fr * sv (sv already holds the conjugated template)
     s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1)
@@ -161,9 +161,9 @@ def _demod_kernel(n_pat: int, f_group: int,
     sb_q = c_re * Bm[:, 0:72] + c_im * A[:, 0:72]
     sb_i = c_re * A[:, 72:144] - c_im * Bm[:, 72:144]
     sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32,
-                     precision=_HIGHEST)
+                     precision=prec)
              + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32,
-                       precision=_HIGHEST))[:, :144]
+                       precision=prec))[:, :144]
 
     # normalization (softbits_kernel.cuh:186-201)
     sav = jnp.mean(sb144, axis=-1, keepdims=True)
@@ -179,7 +179,7 @@ def _demod_kernel(n_pat: int, f_group: int,
     nbad = (16.0 - agree) * 0.5  # (R, 1)
 
     sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32,
-                            precision=_HIGHEST)
+                            precision=prec)
     sb_out[:, :] = sb128  # (f_group*R, 128)
     nbad_out[:, :] = jnp.broadcast_to(
         nbad, (f_group * n_pat * _NC, 128)).astype(jnp.int32)
@@ -203,7 +203,8 @@ def _w2_tables(freqs_key: tuple) -> tuple[np.ndarray, np.ndarray]:
 
 
 def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
-                 interpret: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 interpret: bool | None = None,
+                 fast_math: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-window demod of all candidates (vmap-batchable).
 
     c: (N,) complex64 analytic window (the per-frequency mix-down happens
@@ -252,7 +253,9 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
     M = _demod_matrix()
     P_q, P_i, DSEL = _sb_maps()
 
-    kernel = functools.partial(_demod_kernel, Pn, FG)
+    prec = (jax.lax.Precision.DEFAULT if fast_math
+            else jax.lax.Precision.HIGHEST)
+    kernel = functools.partial(_demod_kernel, Pn, FG, prec)
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda f: (0, 0),
                                        memory_space=pltpu.VMEM)
     sb, nbad128 = pl.pallas_call(

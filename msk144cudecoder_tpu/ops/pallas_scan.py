@@ -47,7 +47,7 @@ _F_TILE = 128  # frequency lanes per grid step (Mosaic requires 128-wide lane
 _PATTERN_TERMS = [tuple(np.nonzero(C.PATTERN_MASKS[p])[0]) for p in range(8)]
 
 
-def _scan_kernel(scan_depth: int,
+def _scan_kernel(scan_depth: int, prec,
                  cmat_ri, bnd_ri,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
@@ -56,7 +56,7 @@ def _scan_kernel(scan_depth: int,
     # --- G = E * (conj(cmat) @ B + wrap correction) ---------------------
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
 
     # cmat/bnd pack [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
     cr = cmat_ri[:, : C.SYNC_CORR_LEN]
@@ -157,7 +157,8 @@ def _boundary_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
-                interpret: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                interpret: bool | None = None,
+                fast_math: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
     c: (5184,) complex64 window. freqs: tuple or FreqTables. Returns
@@ -225,7 +226,9 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
 
-    kernel = functools.partial(_scan_kernel, scan_depth)
+    prec = (jax.lax.Precision.DEFAULT if fast_math
+            else jax.lax.Precision.HIGHEST)
+    kernel = functools.partial(_scan_kernel, scan_depth, prec)
     pos, xb = pl.pallas_call(
         kernel,
         grid=grid,

@@ -86,10 +86,12 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
         # field; demod extracts frames with vector rolls instead of gathers.
         from . import pallas_demod, pallas_scan
 
-        pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth)
+        pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
+                                          fast_math=cfg.fast_math)
         # mix-down AND pattern averaging both happen inside the demod
         # kernel; neither field ever touches HBM
-        sb, nbad = pallas_demod.demod_pallas(c, freqs, pos)
+        sb, nbad = pallas_demod.demod_pallas(c, freqs, pos,
+                                             fast_math=cfg.fast_math)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
         sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)

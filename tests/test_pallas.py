@@ -91,3 +91,20 @@ class TestPallasPipeline:
                     found.add(t)
             texts[use_pallas] = found
         assert texts[False] == texts[True] == {"K1ABC W9XYZ EN37"}
+
+    def test_fast_math_flag_decodes(self):
+        """fast_math relaxes MXU precision; decode must still succeed."""
+        from msk144cudecoder_tpu.protocol import msg77
+
+        a = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=8.0, rng=np.random.default_rng(2))
+        cfg = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128,
+                            use_pallas=True, fast_math=True)
+        res = pipeline.decode_raw(a[None, :], cfg)
+        h = msg77.CallsignHashTable()
+        found = set()
+        for k in np.nonzero(np.asarray(res.found[0]))[0]:
+            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            if ok:
+                found.add(t)
+        assert found == {"CQ K1ABC FN42"}
