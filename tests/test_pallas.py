@@ -108,3 +108,35 @@ class TestPallasPipeline:
             if ok:
                 found.add(t)
         assert found == {"CQ K1ABC FN42"}
+
+    def test_iq_mode_pallas(self):
+        from msk144cudecoder_tpu.protocol import msg77
+
+        iq = G.synthesize_iq_int8(
+            [("K1ABC W9XYZ EN37", 20.0)], 6, snr_db=10.0, rng=np.random.default_rng(6))
+        cfg = DecoderConfig.create(read_mode=2, search_width=100.0, scan_depth=3,
+                                   max_survivors=128, use_pallas=True)
+        res = pipeline.decode_raw(iq[None, :], cfg)
+        h = msg77.CallsignHashTable()
+        found = set()
+        for k in np.nonzero(np.asarray(res.found[0]))[0]:
+            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            if ok:
+                found.add(t)
+        assert found == {"K1ABC W9XYZ EN37"}
+
+    def test_analytic_method1_pallas(self):
+        from msk144cudecoder_tpu.protocol import msg77
+
+        a = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=np.random.default_rng(4))
+        cfg = DecoderConfig(search_width=100.0, scan_depth=3, max_survivors=128,
+                            analytic_method=1, use_pallas=True)
+        res = pipeline.decode_raw(a[None, :], cfg)
+        h = msg77.CallsignHashTable()
+        found = set()
+        for k in np.nonzero(np.asarray(res.found[0]))[0]:
+            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            if ok:
+                found.add(t)
+        assert found == {"CQ K1ABC FN42"}
