@@ -41,9 +41,10 @@ class DecoderConfig:
     fast_math: bool = False  # default MXU precision (bf16 passes) in the
     # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
     # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).
-    # Softbit LLRs lose ~2 decimal digits; decode sensitivity is nearly
-    # unchanged (BP is decoding noise anyway) but exact jnp parity is not
-    # guaranteed
+    # Softbit LLRs lose ~2 decimal digits and exact jnp parity is not
+    # guaranteed. Measured on v5e it is actually SLOWER (6.5 vs 4.6 ms/window
+    # deep scan) — the HIGHEST multi-pass path pipelines better for these
+    # small matmuls — so the default is both more accurate and faster.
     window_batch: int = 1  # windows decoded per device call
 
     def __post_init__(self):
