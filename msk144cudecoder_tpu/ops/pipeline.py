@@ -67,13 +67,34 @@ def block_powers(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.abs(c.reshape(8, _N // 8)) ** 2, axis=-1).astype(jnp.float32)
 
 
-def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDecodeResult:
+def select_survivors(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k candidate indices in EXACT lexicographic (nbadsync asc, xb desc)
+    order, via a two-key sort. xb >= 0 (a magnitude), so its int32 bitcast is
+    order-isomorphic; a float composite key would quantize the xb tie-break
+    away (f32 ulp at 1e9 is 64). The reference BP-decodes every
+    under-threshold survivor (index_kernel.cuh:22-75); with a static K this
+    ordering decides truncation, so it must be exact."""
+    nc = nbad_f.shape[0]
+    xb_bits = jax.lax.bitcast_convert_type(jnp.maximum(xb_f, 0.0), jnp.int32)
+    _, _, sorted_idx = jax.lax.sort(
+        (nbad_f.astype(jnp.int32), -xb_bits, jnp.arange(nc, dtype=jnp.int32)),
+        num_keys=2)
+    return sorted_idx[:k]
+
+
+def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
+                         chan_valid: jnp.ndarray | None = None) -> WindowDecodeResult:
     """One analytic window (5184,) complex64 -> fixed-shape decode results.
 
     `freqs` is either a static tuple (single-device: tables become jit
     constants) or a tables.FreqTables of arrays (shard_map: each device gets
     its frequency-axis slice). All shapes derive from the table arrays so the
     same code serves both paths.
+
+    `chan_valid` (F,) bool optionally masks frequency channels out of survivor
+    selection (sharding pads the grid past the configured right boundary to
+    make F divisible by the mesh; those channels must not compete for
+    survivor slots or report f0 outside the requested search width).
     """
     use_pallas = cfg.use_pallas
     if use_pallas is None:
@@ -96,6 +117,12 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
         pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
         sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
 
+    if chan_valid is not None:
+        # masked channels: nbadsync above any threshold, xb zeroed — they can
+        # neither become survivors nor outrank real diagnostics rows
+        nbad = jnp.where(chan_valid[:, None, None], nbad, 17)
+        xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
+
     nc = pos.shape[0] * pos.shape[1] * pos.shape[2]
     k = min(cfg.max_survivors, nc)
     xb_f = xb.reshape(nc)
@@ -103,10 +130,7 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
     pos_f = pos.reshape(nc)
     sb_f = sb.reshape(nc, 128)
 
-    # Survivor ranking: primary nbadsync ascending, secondary xb descending.
-    key = -nbad_f.astype(jnp.float32) * 1e9 + jnp.minimum(xb_f, 1e8)
-    _, top_idx = jax.lax.top_k(key, k)
-    top_idx = top_idx.astype(jnp.int32)
+    top_idx = select_survivors(nbad_f, xb_f, k)
     nbad_k = nbad_f[top_idx]
     valid = nbad_k <= cfg.nbadsync_threshold
     llr = sb_f[top_idx]
@@ -117,9 +141,13 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig) -> WindowDec
     # first (then best remaining survivors for diagnostics). The reference
     # copies its whole result table to the host every loop
     # (result_keeper.cuh:123-130); we ship ~R rows instead of K.
+    # top_idx is already in exact (nbadsync, xb) order, so rank position =
+    # arange(k); the two-key sort puts decodes first, best-ordered within.
     r = min(cfg.max_results, k)
-    rank = bp.found.astype(jnp.float32) * 1e12 + key[top_idx]
-    _, sel = jax.lax.top_k(rank, r)
+    _, sel = jax.lax.sort(
+        ((~bp.found).astype(jnp.int32), jnp.arange(k, dtype=jnp.int32)),
+        num_keys=2)
+    sel = sel[:r]
     return WindowDecodeResult(
         cand_index=top_idx[sel],
         valid=valid[sel],

@@ -89,10 +89,18 @@ class MeshDecoder:
     def _build(self):
         cfg = self.cfg
         local_cand = self.local_f * cfg.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+        n_real = cfg.num_freqs  # grid channels beyond this are sharding pad
+        local_f = self.local_f
 
         def local_step(raw_local: jnp.ndarray, tbl_local: FreqTables):
             c = pipeline.preprocess(raw_local, cfg)
-            res = jax.vmap(lambda w: pipeline.decode_window_tables(w, tbl_local, cfg))(c)
+            # mask pad channels (grid extended past the right boundary for
+            # divisibility) out of survivor selection — they must not search
+            # outside the requested width nor compete for survivor slots
+            chan0 = jax.lax.axis_index("freq").astype(jnp.int32) * local_f
+            chan_valid = chan0 + jnp.arange(local_f, dtype=jnp.int32) < n_real
+            res = jax.vmap(lambda w: pipeline.decode_window_tables(
+                w, tbl_local, cfg, chan_valid=chan_valid))(c)
             offset = jax.lax.axis_index("freq").astype(jnp.int32) * local_cand
             res = res._replace(
                 cand_index=res.cand_index + offset,

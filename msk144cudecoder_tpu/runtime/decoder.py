@@ -15,6 +15,7 @@ previous window is a free win on TPU.
 
 from __future__ import annotations
 
+import sys
 from collections import deque
 from typing import Dict, List, Optional, Tuple
 
@@ -90,6 +91,17 @@ class StreamDecoder:
 
     def _postprocess_one(self, res, b: int) -> List[ResultItem]:
         """Host post-processing for window b of a batched result."""
+        n_surv = int(res.num_survivors[b])
+        if n_surv > self.cfg.max_survivors:
+            # never silently truncate: the reference BP-decodes every
+            # under-threshold survivor; we decode the best max_survivors by
+            # exact (nbadsync, xb) order and say so
+            print(
+                f"Warning: {n_surv} sync survivors exceed the LDPC batch "
+                f"(max_survivors={self.cfg.max_survivors}); decoding the "
+                f"best {self.cfg.max_survivors} by (nbadsync, xb).",
+                file=sys.stderr,
+            )
         self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
         found = np.asarray(res.found[b])

@@ -32,6 +32,9 @@ def window_stream(fp: BinaryIO, read_mode: int) -> Iterator[np.ndarray]:
 
     def read_exact(n_items: int):
         data = fp.read(n_items * itemsize)
+        # a stream ending mid-sample (ragged byte tail) takes the normal
+        # short-read exit instead of a frombuffer ValueError
+        data = data[: (len(data) // itemsize) * itemsize]
         arr = np.frombuffer(data, dtype=dtype)
         if len(arr) != n_items:
             # EOF/short read ends the stream (main.cu:276-293 prints the same)
