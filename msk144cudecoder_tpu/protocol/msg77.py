@@ -8,8 +8,9 @@ implement pack77 because the TPU framework needs an encoder to synthesize
 test fixtures and benchmarks (the demo WAV was stripped from the snapshot).
 
 Message types (i3.n3):
-  0.0 free text (13 chars)      0.1 DXpedition        0.3/0.4 ARRL Field Day
-  0.5 telemetry (18 hex)        1 standard (/R)       2 standard (/P, EU VHF)
+  0.0 free text (13 chars)      0.1 DXpedition        0.2 EU VHF contest
+  0.3/0.4 ARRL Field Day        0.5 telemetry (18 hex)
+  1 standard (/R)               2 standard (/P, EU VHF)
   3 ARRL RTTY Roundup           4 nonstandard call    5 EU VHF (6-digit grid)
 
 Note: the reference decoder pre-filters plausible types before calling
@@ -287,6 +288,54 @@ def unpack_g15(igrid15: int, ir: int) -> Tuple[str, bool]:
 
 
 # ---------------------------------------------------------------------------
+# 6-character locator g25 field (EU VHF types 0.2 and 5)
+# ---------------------------------------------------------------------------
+
+
+def encode_grid6(grid: str) -> Optional[int]:
+    """6-char Maidenhead locator -> 25-bit integer (types 0.2 / 5)."""
+    g = grid.strip().upper()
+    if (len(g) != 6 or g[0] not in "ABCDEFGHIJKLMNOPQR"
+            or g[1] not in "ABCDEFGHIJKLMNOPQR" or not g[2:4].isdigit()
+            or g[4] not in "ABCDEFGHIJKLMNOPQRSTUVWX"
+            or g[5] not in "ABCDEFGHIJKLMNOPQRSTUVWX"):
+        return None
+    v = (ord(g[0]) - 65) * 18 + (ord(g[1]) - 65)
+    v = v * 10 + int(g[2])
+    v = v * 10 + int(g[3])
+    v = v * 24 + (ord(g[4]) - 65)
+    v = v * 24 + (ord(g[5]) - 65)
+    return v
+
+
+def decode_grid6(igrid6: int) -> Optional[str]:
+    g = igrid6
+    g6 = g % 24
+    g //= 24
+    g5 = g % 24
+    g //= 24
+    d2 = g % 10
+    g //= 10
+    d1 = g % 10
+    g //= 10
+    c2 = g % 18
+    c1 = g // 18
+    if c1 >= 18:
+        return None
+    return f"{chr(65 + c1)}{chr(65 + c2)}{d1}{d2}{chr(65 + g5)}{chr(65 + g6)}"
+
+
+def _parse_euvhf_exch(tok: str) -> Optional[Tuple[int, int]]:
+    """'590003'-style EU VHF exchange -> (irpt, nserial); report 52..59."""
+    if len(tok) != 6 or not tok.isdigit():
+        return None
+    rs = int(tok[:2])
+    if not 52 <= rs <= 59:
+        return None
+    return rs - 52, int(tok[2:])
+
+
+# ---------------------------------------------------------------------------
 # Free text / telemetry
 # ---------------------------------------------------------------------------
 
@@ -326,6 +375,16 @@ def pack77(msg: str, hashes: Optional[CallsignHashTable] = None) -> np.ndarray:
     msg = " ".join(msg.strip().upper().split())
     bits = _try_pack_standard(msg, hashes)
     if bits is None:
+        bits = _try_pack_rtty(msg, hashes)
+    if bits is None:
+        bits = _try_pack_euvhf_02(msg, hashes)
+    if bits is None:
+        bits = _try_pack_euvhf_5(msg, hashes)
+    if bits is None:
+        bits = _try_pack_field_day(msg, hashes)
+    if bits is None:
+        bits = _try_pack_dxpedition(msg, hashes)
+    if bits is None:
         bits = _try_pack_nonstd(msg, hashes)
     if bits is None:
         bits = _try_pack_telemetry(msg)
@@ -363,6 +422,8 @@ def _try_pack_standard(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarr
     if rest and rest[0] == "R" and len(rest) == 2:
         ir = 1
         rest = rest[1:]
+    if len(rest) > 1:
+        return None  # a trailing token the g15 field cannot carry
     arg = rest[0] if rest else ""
     b1, ipa, i3a = _split_suffix(c1_txt)
     b2, ipb, i3b = _split_suffix(c2_txt)
@@ -427,6 +488,185 @@ def _try_pack_nonstd(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray
     return _compose((n12, 12), (n58, 58), (iflip, 1), (rpt_map[rpt], 2), (icq, 1), (4, 3))
 
 
+def _try_pack_rtty(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray]:
+    """i3=3 ARRL RTTY Roundup: t1 c28 c28 R1 r3 s13.
+    'TU; W9XYZ K1ABC R 579 WI' / 'K1ABC W9XYZ 579 0013'."""
+    toks = msg.split()
+    itu = 0
+    if toks and toks[0] == "TU;":
+        itu = 1
+        toks = toks[1:]
+    if len(toks) not in (4, 5):
+        return None
+    c1_t, c2_t = toks[0], toks[1]
+    rest = toks[2:]
+    ir = 0
+    if rest[0] == "R":
+        if len(rest) != 3:
+            return None
+        ir = 1
+        rest = rest[1:]
+    if len(rest) != 2:
+        return None
+    rst, exch = rest
+    if not (len(rst) == 3 and rst[0] == "5" and rst[2] == "9"
+            and rst[1] in "23456789"):
+        return None
+    irpt = int(rst[1]) - 2
+    if exch in RTTY_STATES:
+        nexch = 8001 + RTTY_STATES.index(exch)
+    elif exch.isdigit() and len(exch) == 4 and 0 < int(exch) <= 7999:
+        nexch = int(exch)
+    else:
+        return None
+    n28a = pack28(c1_t, hashes)
+    n28b = pack28(c2_t, hashes)
+    if n28a is None or n28b is None:
+        return None
+    hashes.add(c1_t)
+    hashes.add(c2_t)
+    return _compose((itu, 1), (n28a, 28), (n28b, 28), (ir, 1), (irpt, 3),
+                    (nexch, 13), (3, 3))
+
+
+def _try_pack_euvhf_02(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray]:
+    """Type 0.2 EU VHF contest: c28 p1 r1 r3 s11 g25 (69 payload bits).
+    'PA3XYZ/P R 590003 IO91NP'."""
+    toks = msg.split()
+    if len(toks) not in (3, 4):
+        return None
+    call = toks[0]
+    rest = toks[1:]
+    ir = 0
+    if rest[0] == "R":
+        if len(rest) != 3:
+            return None
+        ir = 1
+        rest = rest[1:]
+    if len(rest) != 2:
+        return None
+    exch = _parse_euvhf_exch(rest[0])
+    igrid6 = encode_grid6(rest[1])
+    if exch is None or igrid6 is None:
+        return None
+    irpt, nserial = exch
+    if nserial >= 1 << 11:
+        return None
+    ipa = 0
+    base = call
+    if base.endswith("/P"):
+        ipa = 1
+        base = base[:-2]
+    n28a = pack28(base, hashes)
+    if n28a is None:
+        return None
+    hashes.add(base)
+    return _compose((n28a, 28), (ipa, 1), (ir, 1), (irpt, 3), (nserial, 11),
+                    (igrid6, 25), (0, 2), (2, 3), (0, 3))
+
+
+def _try_pack_euvhf_5(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray]:
+    """i3=5 EU VHF contest with 6-char locator: h12 h22 R1 r3 s11 g25.
+    '<PA3XYZ> <G4ABC> R 590003 JO22DB'."""
+    toks = msg.split()
+    if len(toks) not in (4, 5):
+        return None
+    c1_t, c2_t = toks[0], toks[1]
+    rest = toks[2:]
+    ir = 0
+    if rest[0] == "R":
+        if len(rest) != 3:
+            return None
+        ir = 1
+        rest = rest[1:]
+    if len(rest) != 2:
+        return None
+    exch = _parse_euvhf_exch(rest[0])
+    igrid6 = encode_grid6(rest[1])
+    if exch is None or igrid6 is None:
+        return None
+    irpt, nserial = exch
+    if nserial >= 1 << 11:
+        return None
+    c1 = c1_t.strip("<>")
+    c2 = c2_t.strip("<>")
+    if not c1 or not c2:
+        return None
+    n12 = ihashcall(c1, 12)
+    n22 = ihashcall(c2, 22)
+    hashes.add(c1)
+    hashes.add(c2)
+    return _compose((n12, 12), (n22, 22), (ir, 1), (irpt, 3), (nserial, 11),
+                    (igrid6, 25), (5, 3))
+
+
+def _try_pack_field_day(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray]:
+    """Types 0.3/0.4 ARRL Field Day: c28 c28 R1 n4 k3 S7.
+    'WA9XYZ KA1ABC R 16A EMA' (n3=3: 1-16 transmitters; n3=4: 17-32)."""
+    toks = msg.split()
+    if len(toks) not in (4, 5):
+        return None
+    c1_t, c2_t = toks[0], toks[1]
+    rest = toks[2:]
+    ir = 0
+    if rest[0] == "R":
+        if len(rest) != 3:
+            return None
+        ir = 1
+        rest = rest[1:]
+    if len(rest) != 2:
+        return None
+    txcls, sec = rest
+    if sec not in FD_SECTIONS:
+        return None
+    if not (2 <= len(txcls) <= 3 and txcls[:-1].isdigit()
+            and txcls[-1] in "ABCDEFGH"):
+        return None
+    ntx = int(txcls[:-1])
+    if not 1 <= ntx <= 32:
+        return None
+    nclass = ord(txcls[-1]) - ord("A")
+    n3 = 3 if ntx <= 16 else 4
+    intx = ntx - 1 - (16 if n3 == 4 else 0)
+    n28a = pack28(c1_t, hashes)
+    n28b = pack28(c2_t, hashes)
+    if n28a is None or n28b is None:
+        return None
+    hashes.add(c1_t)
+    hashes.add(c2_t)
+    isec = FD_SECTIONS.index(sec) + 1
+    return _compose((n28a, 28), (n28b, 28), (ir, 1), (intx, 4), (nclass, 3),
+                    (isec, 7), (n3, 3), (0, 3))
+
+
+def _try_pack_dxpedition(msg: str, hashes: CallsignHashTable) -> Optional[np.ndarray]:
+    """Type 0.1 DXpedition: c28 c28 h10 r5.
+    'K1ABC RR73; W9XYZ <KH1/KH7Z> -08'."""
+    toks = msg.split()
+    if len(toks) != 5 or toks[1] != "RR73;":
+        return None
+    c1_t, c3_t, c2_t, rpt_t = toks[0], toks[2], toks[3], toks[4]
+    if not (c2_t.startswith("<") and c2_t.endswith(">")):
+        return None
+    if not (len(rpt_t) == 3 and rpt_t[0] in "+-" and rpt_t[1:].isdigit()):
+        return None
+    rpt = int(rpt_t)
+    if rpt < -30 or rpt > 32 or (rpt + 30) % 2:
+        return None
+    n28a = pack28(c1_t, hashes)
+    n28b = pack28(c3_t, hashes)
+    if n28a is None or n28b is None:
+        return None
+    c2 = c2_t.strip("<>")
+    n10 = ihashcall(c2, 10)
+    n5 = (rpt + 30) // 2
+    hashes.add(c1_t)
+    hashes.add(c3_t)
+    hashes.add(c2)
+    return _compose((n28a, 28), (n28b, 28), (n10, 10), (n5, 5),
+                    (1, 3), (0, 3))
+
+
 def _try_pack_telemetry(msg: str) -> Optional[np.ndarray]:
     t = msg.strip().upper()
     if not t or len(t) > 18 or any(ch not in "0123456789ABCDEF" for ch in t):
@@ -459,6 +699,8 @@ def unpack77(bits77, hashes: Optional[CallsignHashTable] = None) -> Tuple[bool, 
         return True, unpack_text71(_bits_to_int(bits[:71]))
     if i3 == 0 and n3 == 1:
         return _unpack_dxpedition(bits, hashes)
+    if i3 == 0 and n3 == 2:
+        return _unpack_euvhf_02(bits, hashes)
     if i3 == 0 and n3 in (3, 4):
         return _unpack_field_day(bits, hashes, n3)
     if i3 == 0 and n3 == 5:
@@ -561,22 +803,40 @@ def _unpack_euvhf(bits, hashes) -> Tuple[bool, str]:
     igrid6 = _bits_to_int(bits[49:74])
     c1 = hashes.lookup(hashes.h12, n12)
     c2 = hashes.lookup(hashes.h22, n22)
-    g = igrid6
-    g6 = g % 24
-    g //= 24
-    g5 = g % 24
-    g //= 24
-    d2 = g % 10
-    g //= 10
-    d1 = g % 10
-    g //= 10
-    c2g = g % 18
-    c1g = g // 18
-    if c1g >= 18:
+    grid6 = decode_grid6(igrid6)
+    if grid6 is None:
         return False, ""
-    grid6 = f"{chr(65 + c1g)}{chr(65 + c2g)}{d1}{d2}{chr(65 + g5)}{chr(65 + g6)}"
     exch = f"{52 + irpt}{nserial:04d}"
     parts = [c1, c2]
+    if ir:
+        parts.append("R")
+    parts += [exch, grid6]
+    return True, " ".join(parts)
+
+
+def _unpack_euvhf_02(bits, hashes) -> Tuple[bool, str]:
+    """Type 0.2 EU VHF contest: c28 p1 r1 r3 s11 g25 (69 payload bits),
+    'PA3XYZ/P R 590003 IO91NP'. The reference's plausibility gate admits it
+    (decode_softbits.cpp:29), so a decoder without this branch silently drops
+    messages the reference prints."""
+    n28a = _bits_to_int(bits[0:28])
+    ipa = int(bits[28])
+    ir = int(bits[29])
+    irpt = _bits_to_int(bits[30:33])
+    nserial = _bits_to_int(bits[33:44])
+    igrid6 = _bits_to_int(bits[44:69])
+    ok1, c1 = unpack28(n28a, hashes)
+    if not ok1:
+        return False, ""
+    if ipa and not c1.startswith(("<", "CQ", "DE", "QRZ")):
+        c1 += "/P"
+    if not c1.startswith(("<", "CQ", "DE", "QRZ")):
+        hashes.add(c1.replace("/P", ""))
+    grid6 = decode_grid6(igrid6)
+    if grid6 is None:
+        return False, ""
+    exch = f"{52 + irpt}{nserial:04d}"
+    parts = [c1]
     if ir:
         parts.append("R")
     parts += [exch, grid6]

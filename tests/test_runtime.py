@@ -299,3 +299,54 @@ class TestSurvivorSelection:
         windows = list(window_stream(io.BytesIO(data), 1))
         assert len(windows) == 1
         assert "Incomplete read" in capsys.readouterr().err
+
+
+class TestNewMessageTypesEndToEnd:
+    """Every unpack77 branch reached through the synthesized-RF pipeline
+    (VERDICT round-1 items 3/4). Types the reference's plausibility gate
+    admits (0.2, 5) decode through the full StreamDecoder; gated types
+    (0.1, 0.3/0.4, 3) are checked at the ops level (bits survive the channel)
+    plus gate parity (StreamDecoder drops them like the reference)."""
+
+    def test_type_02_full_stream_decode(self):
+        msg = "PA3XYZ/P R 590003 IO91NP"
+        audio = G.synthesize_audio_int16(
+            [(msg, 1500.0)], 6, snr_db=10.0, rng=np.random.default_rng(21))
+        res = StreamDecoder(CFG_SMALL).decode_block(audio)
+        assert [r.message for r in res] == [msg]
+
+    def test_type_5_full_stream_decode_with_hash_context(self):
+        msg = "<PA3XYZ> <G4ABC> R 570123 JO22DB"
+        audio = G.synthesize_audio_int16(
+            [(msg, 1500.0)], 6, snr_db=10.0, rng=np.random.default_rng(22))
+        dec = StreamDecoder(CFG_SMALL)
+        dec.hashes.add("PA3XYZ")
+        dec.hashes.add("G4ABC")
+        res = dec.decode_block(audio)
+        assert [r.message for r in res] == [msg]
+
+    @pytest.mark.parametrize("msg", [
+        "K1ABC RR73; W9XYZ <KH1/KH7Z> -08",  # 0.1
+        "WA9XYZ KA1ABC R 16A EMA",           # 0.3
+        "WA9XYZ KA1ABC 32A SNJ",             # 0.4
+        "TU; K1ABC W9XYZ R 589 0013",        # 3
+    ])
+    def test_gated_types_survive_channel_but_are_gate_dropped(self, msg):
+        from msk144cudecoder_tpu.ops import pipeline as pl_mod
+        from msk144cudecoder_tpu.protocol import msg77
+
+        audio = G.synthesize_audio_int16(
+            [(msg, 1500.0)], 6, snr_db=10.0, rng=np.random.default_rng(23))
+        out = pl_mod.decode_raw(audio[None, :], CFG_SMALL)
+        found = np.asarray(out.found[0])
+        assert found.any()
+        k = int(np.nonzero(found)[0][0])
+        bits = np.asarray(out.message_bits[0][k], dtype=np.uint8)
+        h = msg77.CallsignHashTable()
+        h.add("KH1/KH7Z")
+        ok, text = msg77.unpack77(bits, h)
+        assert ok and text == msg
+        # gate parity: the reference never hands these to the codec
+        assert not msg77.plausible_message_type(bits)
+        res = StreamDecoder(CFG_SMALL).decode_block(audio)
+        assert res == []
