@@ -107,7 +107,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Import JAX lazily so --help stays instant.
     from .runtime import StreamDecoder
     from .runtime import native
-    from .runtime.metrics import SimpleTimer
+    from .runtime.metrics import ScopedMetric, SimpleTimer
     from .runtime.stream import window_stream
 
     decoder = StreamDecoder(cfg)
@@ -139,15 +139,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         # depth-1 pipelining: the next window's device work is dispatched
         # before we block on the previous one's results, so host post-
         # processing overlaps device compute (the reference's loop is fully
-        # synchronous, main.cu:468-471).
+        # synchronous, main.cu:468-471). ScopedMetric spans mirror the
+        # reference's per-stage instrumentation (main.cu:210-479), enabled
+        # by MSK144_TPU_METRICS=1.
         timer = SimpleTimer()
-        for window in windows:
-            decoder.submit(window)
+        win_iter = iter(windows)
+        while True:
+            loop_span = ScopedMetric("working_loop")
+            with ScopedMetric("ingest"):
+                window = next(win_iter, None)
+            if window is None:
+                loop_span.stop()
+                break
+            with ScopedMetric("submit"):
+                decoder.submit(window)
             if decoder.in_flight > 1:
-                emit(decoder.collect(), timer.milliseconds_elapsed(), 1)
+                with ScopedMetric("collect"):
+                    results = decoder.collect()
+                emit(results, timer.milliseconds_elapsed(), 1)
                 timer = SimpleTimer()
+            loop_span.stop()
         while decoder.in_flight:
-            emit(decoder.collect(), timer.milliseconds_elapsed(), 1)
+            with ScopedMetric("collect"):
+                results = decoder.collect()
+            emit(results, timer.milliseconds_elapsed(), 1)
             timer = SimpleTimer()
     else:
         # Throughput mode: decode window_batch windows per device call.

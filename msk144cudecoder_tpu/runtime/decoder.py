@@ -25,6 +25,7 @@ from .. import constants as C
 from ..config import DecoderConfig
 from ..ops import pipeline
 from ..protocol import msg77
+from .metrics import ScopedMetric
 from .result_filter import ResultFilter, ResultItem
 from .snr import SNRTracker
 
@@ -55,8 +56,10 @@ class StreamDecoder:
         """Block on the oldest in-flight window, post-process, return its
         deduped results."""
         assert self._pending, "no window submitted"
-        res = jax_to_host(self._pending.popleft())
-        return self._postprocess(res)
+        with ScopedMetric("device_wait_transfer"):
+            res = jax_to_host(self._pending.popleft())
+        with ScopedMetric("postprocess"):
+            return self._postprocess(res)
 
     def decode_block(self, raw_window: np.ndarray) -> List[ResultItem]:
         """Synchronous submit+collect of one window."""
@@ -105,22 +108,24 @@ class StreamDecoder:
         self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
         found = np.asarray(res.found[b])
-        for k in np.nonzero(found)[0]:
-            bits77 = np.asarray(res.message_bits[b][k], dtype=np.int8)
-            ok, text = self._unpack_cached(bits77)
-            if not ok:
-                continue
-            fi, pi, _ = pipeline.unpack_candidate_index(self.cfg, int(res.cand_index[b][k]))
-            self.result_filter.put_message(
-                snr=self.snr_tracker.snr_i,
-                f0=float(self._freqs[fi]),
-                num_avg=int(C.PATTERN_NUM_AVG[pi]),
-                nbadsync=int(res.nbadsync[b][k]),
-                pattern_idx=pi,
-                message=text,
-            )
-        self.result_filter.block_end()
-        return self.result_filter.block_result()
+        with ScopedMetric("unpack77"):
+            for k in np.nonzero(found)[0]:
+                bits77 = np.asarray(res.message_bits[b][k], dtype=np.int8)
+                ok, text = self._unpack_cached(bits77)
+                if not ok:
+                    continue
+                fi, pi, _ = pipeline.unpack_candidate_index(self.cfg, int(res.cand_index[b][k]))
+                self.result_filter.put_message(
+                    snr=self.snr_tracker.snr_i,
+                    f0=float(self._freqs[fi]),
+                    num_avg=int(C.PATTERN_NUM_AVG[pi]),
+                    nbadsync=int(res.nbadsync[b][k]),
+                    pattern_idx=pi,
+                    message=text,
+                )
+        with ScopedMetric("result_filter"):
+            self.result_filter.block_end()
+            return self.result_filter.block_result()
 
 
 def jax_to_host(res) -> "pipeline.WindowDecodeResult":

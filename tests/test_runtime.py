@@ -350,3 +350,46 @@ class TestNewMessageTypesEndToEnd:
         assert not msg77.plausible_message_type(bits)
         res = StreamDecoder(CFG_SMALL).decode_block(audio)
         assert res == []
+
+
+def _run_cli(stdin_bytes: bytes, extra_args=(), env_extra=None, timeout=240):
+    """Run `python -m msk144cudecoder_tpu` as a subprocess on CPU."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    cmd = ["python", "-m", "msk144cudecoder_tpu", "--platform", "cpu",
+           *extra_args]
+    proc = subprocess.run(cmd, input=stdin_bytes, capture_output=True,
+                          timeout=timeout, env=env, cwd=os.path.dirname(
+                              os.path.dirname(os.path.abspath(__file__))))
+    return proc.stdout.decode(), proc.stderr.decode()
+
+
+class TestScopedMetrics:
+    def test_spans_print_when_enabled(self):
+        rng = np.random.default_rng(31)
+        audio = G.synthesize_audio_int16(
+            [("CQ K1ABC FN42", 1500.0)], 6, snr_db=10.0, rng=rng)
+        out, err = _run_cli(
+            audio.tobytes() + audio.tobytes(),
+            extra_args=["--search-width", "100", "--scan-depth", "3"],
+            env_extra={"MSK144_TPU_METRICS": "1"})
+        assert "CQ K1ABC FN42" in out
+        for span in ("working_loop", "ingest", "submit", "collect",
+                     "device_wait_transfer", "postprocess", "unpack77",
+                     "result_filter"):
+            assert f"Measured time: {span} " in err, (span, err[-2000:])
+        # nesting: inner spans are indented under working_loop/collect
+        assert "\n  Measured time: ingest" in err
+        assert "    Measured time: device_wait_transfer" in err
+
+    def test_spans_silent_by_default(self):
+        rng = np.random.default_rng(32)
+        audio = (rng.normal(0, 1000, C.WINDOW_LEN)).astype(np.int16)
+        _, err = _run_cli(audio.tobytes(),
+                          extra_args=["--search-width", "100",
+                                      "--scan-depth", "3"],
+                          env_extra={"MSK144_TPU_METRICS": "0"})
+        assert "Measured time:" not in err
