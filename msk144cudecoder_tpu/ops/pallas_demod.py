@@ -1,30 +1,40 @@
-"""Fused Pallas TPU kernel for per-candidate softbit demodulation.
+"""Fused Pallas TPU kernel for per-candidate softbit demodulation (v2).
 
 The jnp demod (ops/softbits.py) gathers a cyclic 864-sample frame per
-candidate with take_along_axis; XLA lowers that to scalar-core gathers which
-measured ~900 ms/window on the deep scan — the entire pipeline budget.
+candidate with take_along_axis; XLA lowers that to scalar-core gathers
+(~900 ms/window deep scan). Round 1's kernel replaced the gathers with
+per-candidate (1, 1024) dynamic slices + rotates — correct, but at sublane-1
+utilization (7/8 of every vreg idle) it still cost ~2.0 ms/window. This
+version restructures extraction around the MXU and full vregs:
 
-This kernel fuses THREE stages for each (window, frequency) grid step:
-  1. pattern averaging — the (F, P, N) ZA array the jnp path materializes in
-     HBM never exists here: a candidate's averaged frame is built in VMEM as
-     frame_p(t) = sum_m mask_p[m] * z((pos + t + 864 m) mod N)
-     from the doubled mixed signal z_ext = [z | z] (cyclic indexing becomes
-     plain slicing; max index pos + 863 + 864*5 < 2N).
-  2. frame extraction — Mosaic's dynamic lane ops are restricted (unaligned
-     dynamic slices rejected; wide dynamic rotates miscompile on v5e), so
-     start = 128 q + r decomposes into a 128-aligned dynamic slice of a
-     1024-lane chunk plus a residual rotate r < 128 at a narrow shape.
-  3. demod math — identical to softbits.demod and the reference
-     (/root/reference/src/softbits_kernel.cuh:9-248): carrier phase from the
-     sync template, derotation (commuted through the matched filter:
-     sb_q = c_re*(fr_im@WQ) + c_im*(fr_re@WQ) etc.), 144 matched-filter
-     softbits via one (R, 864) x (864, 256) MXU matmul pair per frequency
-     (R = patterns x 8; the phase sum rides as two extra matrix columns),
-     normalization, and nbadsync.
+  1. tile layout — the doubled mixed signal lives as (88, 128) row tiles per
+     frequency (row r, lane l) = z[128 r + l], so a frame chunk is 8
+     consecutive *rows* instead of 1024 lanes of one row.
+  2. pattern averaging — acc_p = sum_m mask_p[m] * shift(z, 864 m) via
+     "shift dances": a 128q+L shift is two sublane rolls + two lane rolls +
+     one select, applied to full (88, 128) blocks (every vreg lane busy).
+  3. frame extraction = one-hot matmul — the 8 aligned 128-lane segments of
+     all 8 candidates of a (freq, pattern) are ONE (64, 48) x (48, 128) MXU
+     matmul against the tile (rows = segments, one-hot built in-kernel from
+     iota compares). bf16_3x (Precision.HIGH) is bit-exact for one-hot
+     operands: f32 = hi+mid+lo is an exact 3x8-bit mantissa split and each
+     output sums exactly one input.
+  4. residual shift — start % 128 is applied to the stacked (P*64, 1024)
+     chunk block with 7 bit-decomposed static lane rolls + per-row selects
+     (a dynamic per-row rotate does not exist on TPU; static rolls do, at
+     full vreg width). Wrapped garbage lands in lanes >= 897 where the
+     matched-filter matrix rows are zero.
+  5. demod math — one (P*64, 1024) x (1024, 256) matmul per step at HIGH
+     (measured ~190 TFLOP/s effective on v5e vs 34 for HIGHEST): matched
+     filter with Q/I columns pre-interleaved (the round-1 P_q/P_i
+     interleave matmuls become two lane selects), phase columns riding as
+     columns 144/145, then normalization and nbadsync exactly as the
+     reference (/root/reference/src/softbits_kernel.cuh:9-248).
 
-All in-kernel dots use Precision.HIGHEST (parity with the jnp path); all
-constant blocks are padded to 128-multiple lane widths; candidate positions
-ride VMEM blocks (scalar-prefetch arrays of this size overflow SMEM).
+Mosaic v5e restrictions honored (see tools/README.md probes): no dynamic
+lane slices off 128 alignment, no wide dynamic rotates, no cross-dim
+reshapes in-kernel, scalar-prefetch too small for the position table (it
+rides VMEM blocks instead).
 """
 
 from __future__ import annotations
@@ -40,166 +50,270 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 from .softbits import _matched_filter_mats, _sync_vec
 
-_N = C.WINDOW_LEN
+_N = C.WINDOW_LEN  # 5184
 _NC = C.NUM_CANDIDATES_PER_PATTERN  # 8
 _FRAME = C.FRAME_LEN  # 864
-_HIGHEST = jax.lax.Precision.HIGHEST
+_FG = 8  # frequencies per grid step
 
-# doubled window: cyclic index pos + 863 + 864*5 < 2N for any pos < N;
-# the aligned chunk slice needs floor(max_start/128)*128 + 1024 lanes
-_MAX_START = (_N - 1) + 864 * 5
+# tile geometry: doubled window 2N = 10368 = 81 rows of 128 lanes; padded to
+# 88 rows (multiple of 8, and room for shift-dance wraparound garbage, which
+# after 5 incremental 864-shifts reaches no lower than row 81-7*4 = 53).
+_ZROWS = 88
+assert 2 * _N == 81 * 128
+# extraction reads rows q..q+7 with q = start//128 <= (N-1)//128 = 40, and
+# the accumulated signal at rows <= 47 covers start+863+864*5 < 2N.
+_AROWS = 48
 _CHUNK = 1024
-_Z_EXT = (_MAX_START // 128) * 128 + _CHUNK  # 10496, a 128 multiple
-assert _Z_EXT % 128 == 0 and _Z_EXT >= 2 * _N
 
 
 @functools.lru_cache(maxsize=None)
-def _demod_matrix() -> np.ndarray:
-    """(864, 256) = [WQ | WI | sv_re | sv_im | zero pad]."""
+def _mf_matrix() -> np.ndarray:
+    """(1024, 256) matched filter, Q/I interleaved + phase columns.
+
+    Column 2q = WQ[:, q], 2q+1 = WI[:, q] (so the matmul output is already
+    the interleaved 144-softbit order); columns 144/145 = conj sync template
+    re/im; rows >= 864 are zero (they absorb residual-shift wrap garbage).
+    """
     WQ, WI = _matched_filter_mats()
     sv = _sync_vec()
-    M = np.zeros((_FRAME, 256), dtype=np.float32)
-    M[:, 0:72] = WQ
-    M[:, 72:144] = WI
-    M[:, 144] = sv.real
-    M[:, 145] = sv.imag
+    M = np.zeros((_CHUNK, 256), dtype=np.float32)
+    M[:_FRAME, 0:144:2] = WQ
+    M[:_FRAME, 1:144:2] = WI
+    M[:_FRAME, 144] = sv.real
+    M[:_FRAME, 145] = sv.imag
     return M
 
 
 @functools.lru_cache(maxsize=None)
-def _sb_maps() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-hot layout matrices (no in-kernel gathers):
-    P_q/P_i (72, 256): Q/I matmul lanes -> interleaved QIQI... order;
-    DSEL (144, 128): interleaved softbits -> the 128 data softbits."""
-    P_q = np.zeros((72, 256), dtype=np.float32)
-    P_i = np.zeros((72, 256), dtype=np.float32)
-    for q in range(72):
-        P_q[q, 2 * q] = 1.0
-        P_i[q, 2 * q + 1] = 1.0
-    DSEL = np.zeros((144, 128), dtype=np.float32)
-    for j, t in enumerate(list(range(8, 56)) + list(range(64, 144))):
-        DSEL[t, j] = 1.0
-    return P_q, P_i, DSEL
-
-
-@functools.lru_cache(maxsize=None)
-def _sync_sign() -> np.ndarray:
-    """(8, 256) +-1 at the 16 sync-bit positions of row 0, zero elsewhere."""
-    sync_sign = np.zeros((8, 256), dtype=np.float32)
+def _lane_masks() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(1, 256) f32 masks: Q (even, <144), data-144 (<144), sync signs."""
+    lane = np.arange(256)
+    even = ((lane % 2 == 0) & (lane < 144)).astype(np.float32)[None, :]
+    in144 = (lane < 144).astype(np.float32)[None, :]
+    ssign = np.zeros((1, 256), dtype=np.float32)
     s8 = C.SYNC_WORD_PM.astype(np.float32)
     for base in (C.FIRST_SYNC_BIT, C.SECOND_SYNC_BIT):
-        sync_sign[0, base : base + 8] = s8
-    return sync_sign
+        ssign[0, base : base + 8] = s8
+    return even, in144, ssign
 
 
-def _demod_kernel(n_pat: int, f_group: int, prec,
-                  c_re, c_im, w_re, w_im, pos_ref, m_ref, pq_ref, pi_ref,
-                  dsel_ref, ssign_ref, sb_out, nbad_out,
-                  z_re, z_im, acc_re, acc_im):
-    # mix the window down by this step's 8 carrier rows entirely in VMEM:
-    # z = c * W with W = exp(-2j pi f t / fs) (softbits.mix_all semantics);
-    # the (F, 2N) mixed field never touches HBM
-    cr = c_re[0:1, :]
-    ci = c_im[0:1, :]
-    z_re[:, :] = cr * w_re[:, :] - ci * w_im[:, :]
-    z_im[:, :] = cr * w_im[:, :] + ci * w_re[:, :]
+def _shift_tile(re, im, rows: int, lanes: int):
+    """Tile-layout flat shift by S = 128*rows + lanes (lanes in [0,128)):
+    out[r, l] = x[r + rows, l + lanes] with row overflow into r+rows+1.
+    Cyclic in rows — callers keep >= 7 zero/garbage-tolerant tail rows."""
+    n = re.shape[0]
 
-    def chunk(ref, fi, start):
-        """(1, 864) slice [start : start+864] of freq fi's averaged row."""
-        q128 = pl.multiple_of((start // 128) * 128, 128)
-        r = start - q128
-        piece = ref[fi : fi + 1, pl.ds(q128, _CHUNK)]
-        return pltpu.roll(piece, -r, 1)[:, :_FRAME]
+    def one(x):
+        a = pltpu.roll(x, n - rows, 0)
+        if lanes == 0:
+            return a
+        b = pltpu.roll(x, n - rows - 1, 0)
+        a = pltpu.roll(a, 128 - lanes, 1)
+        b = pltpu.roll(b, 128 - lanes, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 128
+        return jnp.where(lane < 128 - lanes, a, b)
 
-    # Pattern-averaged rows accumulate in VMEM (softbits.pattern_average
-    # semantics): static full-width rolls at full vreg utilization, prefix
-    # reuse for patterns 0..5; each candidate then needs only ONE chunk
-    # extraction instead of |mask| of them. The roll never wraps garbage
-    # into readable lanes: u + 864 m <= 10367 < _Z_EXT for u <= N+863.
-    rows_re = [[None] * (n_pat * _NC) for _ in range(f_group)]
-    rows_im = [[None] * (n_pat * _NC) for _ in range(f_group)]
+    return one(re), one(im)
 
-    def extract(p):
-        for fi in range(f_group):
-            for k in range(_NC):
-                start = pos_ref[fi, p * _NC + k]
-                rows_re[fi][p * _NC + k] = chunk(acc_re, fi, start)
-                rows_im[fi][p * _NC + k] = chunk(acc_im, fi, start)
 
-    acc_re[:, :] = z_re[:, :]
-    acc_im[:, :] = z_im[:, :]
+def _split3(x):
+    """Exact 3-way bf16 split of f32: x == h + m + l (24 = 3x8 mantissa bits;
+    Dekker-style argument, round-to-nearest removes >= 8 bits per step)."""
+    h = x.astype(jnp.bfloat16)
+    r1 = x - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _bf16_dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_onehot(oh, x, exact3: bool):
+    """oh (0/1 matrix) @ x, bit-exact: each output copies one f32 input, and
+    the 3-way split reconstructs it exactly in the f32 accumulator. Mosaic
+    in-kernel dots only support DEFAULT (1-pass bf16) and HIGHEST (slow fp32
+    contract, measured ~5x slower than 3x bf16 on v5e), hence the manual
+    decomposition. exact3=False (interpreter) uses a plain f32 dot."""
+    if not exact3:
+        return jnp.dot(oh, x, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    oh16 = oh.astype(jnp.bfloat16)
+    xh, xm, xl = _split3(x)
+    return _bf16_dot(oh16, xh) + _bf16_dot(oh16, xm) + _bf16_dot(oh16, xl)
+
+
+def _dot_mf(ch, m_f32, m_h, m_l, mode: str):
+    """Matched-filter matmul at the requested precision ladder:
+    'exact3' = 3-pass bf16 (~f32 quality, ~190 TFLOP/s effective on v5e),
+    'fast' = 1-pass bf16 (the fast_math option), 'f32' = plain HIGHEST
+    (interpreter / reference path)."""
+    if mode == "fast":
+        return jnp.dot(ch, m_f32, preferred_element_type=jnp.float32)
+    if mode == "f32":
+        return jnp.dot(ch, m_f32, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    chh, chm, _ = _split3(ch)
+    return (_bf16_dot(chh, m_h[:, :]) + _bf16_dot(chh, m_l[:, :])
+            + _bf16_dot(chm, m_h[:, :]))
+
+
+def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool,
+                  c_re, c_im, w_re, w_im, pos_ref, m_ref, m_h, m_l, masks_ref,
+                  sb_out, nbad_out,
+                  z_re, z_im, zs_re, zs_im, acc_re, acc_im, ch_re, ch_im):
+    # ---- mix: z = c * W for the step's 8 frequencies, in tile layout ----
+    cr, ci = c_re[:, :], c_im[:, :]
+    wr, wi = w_re[:, :], w_im[:, :]
+    z_re[:, :] = cr * wr - ci * wi
+    z_im[:, :] = cr * wi + ci * wr
+
+    iota48 = jax.lax.broadcasted_iota(jnp.int32, (_NC * 8, _AROWS), 1)
+    icol = jax.lax.broadcasted_iota(jnp.int32, (_NC * 8, 1), 0) // _NC
+
+    def extract(p: int):
+        """One-hot matmul extraction of pattern p's 64 candidate chunks into
+        ch rows [p*64, (p+1)*64): row p*64 + f*8 + k, lanes i*128+l."""
+        for f in range(_FG):
+            pos8 = pos_ref[p * _NC : (p + 1) * _NC, f : f + 1]  # (8, 1)
+            q8 = pos8 // 128
+            qcol = pltpu.repeat(q8, 8, 0)  # (64, 1): row i*8+k -> q_k
+            oh = jnp.where((qcol + icol) == iota48, 1.0, 0.0)  # (64, 48)
+            ar = acc_re[f * _AROWS : (f + 1) * _AROWS, :]
+            ai = acc_im[f * _AROWS : (f + 1) * _AROWS, :]
+            pr = _dot_onehot(oh, ar, exact3)
+            pi_ = _dot_onehot(oh, ai, exact3)
+            base = p * _NC * 8 + f * _NC
+            for i in range(8):
+                ch_re[base : base + _NC, i * 128 : (i + 1) * 128] = \
+                    pr[i * _NC : (i + 1) * _NC, :]
+                ch_im[base : base + _NC, i * 128 : (i + 1) * 128] = \
+                    pi_[i * _NC : (i + 1) * _NC, :]
+
+    def add_rows(dst_re, dst_im, src_re, src_im):
+        """acc (+)= src, taking the first 48 rows of each 88-row freq block."""
+        for f in range(_FG):
+            a, b = f * _AROWS, (f + 1) * _AROWS
+            s = f * _ZROWS
+            if dst_re is None:
+                acc_re[a:b, :] = src_re[s : s + _AROWS, :]
+                acc_im[a:b, :] = src_im[s : s + _AROWS, :]
+            else:
+                acc_re[a:b, :] = acc_re[a:b, :] + src_re[s : s + _AROWS, :]
+                acc_im[a:b, :] = acc_im[a:b, :] + src_im[s : s + _AROWS, :]
+
+    def shift_zs(rows: int, lanes: int):
+        for f in range(_FG):
+            s = f * _ZROWS
+            r2, i2 = _shift_tile(zs_re[s : s + _ZROWS, :],
+                                 zs_im[s : s + _ZROWS, :], rows, lanes)
+            zs_re[s : s + _ZROWS, :] = r2
+            zs_im[s : s + _ZROWS, :] = i2
+
+    # ---- prefix patterns 0..min(n_pat,6)-1 -----------------------------
+    zs_re[:, :] = z_re[:, :]
+    zs_im[:, :] = z_im[:, :]
+    add_rows(None, None, z_re, z_im)  # acc = z
     extract(0)
     for p in range(1, min(n_pat, 6)):
-        acc_re[:, :] = acc_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * p, 1)
-        acc_im[:, :] = acc_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * p, 1)
+        shift_zs(6, 96)  # incremental +864
+        add_rows(acc_re, acc_im, zs_re, zs_im)
         extract(p)
     if n_pat >= 7:  # gap pattern 6: frames {0, 3}
-        acc_re[:, :] = z_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * 3, 1)
-        acc_im[:, :] = z_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * 3, 1)
+        zs_re[:, :] = z_re[:, :]
+        zs_im[:, :] = z_im[:, :]
+        shift_zs(20, 32)  # +2592
+        add_rows(None, None, z_re, z_im)
+        add_rows(acc_re, acc_im, zs_re, zs_im)
         extract(6)
         if n_pat >= 8:  # gap pattern 7: frames {0, 3, 4}
-            acc_re[:, :] = acc_re[:, :] + pltpu.roll(z_re[:, :], _Z_EXT - 864 * 4, 1)
-            acc_im[:, :] = acc_im[:, :] + pltpu.roll(z_im[:, :], _Z_EXT - 864 * 4, 1)
+            shift_zs(6, 96)  # +3456 total
+            add_rows(acc_re, acc_im, zs_re, zs_im)
             extract(7)
 
-    fr_re = jnp.concatenate([r for fr in rows_re for r in fr], axis=0)
-    fr_im = jnp.concatenate([r for fr in rows_im for r in fr], axis=0)
+    # ---- residual shift: start % 128, bit-decomposed static rolls ------
+    # (Mosaic cannot concat sublane slices taken at different offsets into
+    # one (P*64, 1) column, so the shift runs per (pattern, freq) block with
+    # that block's own (8, 1) residual column.)
+    for p in range(n_pat):
+        for f in range(_FG):
+            r8 = pos_ref[p * _NC : (p + 1) * _NC, f : f + 1] % 128
+            base = p * _NC * _FG + f * _NC
+            br = ch_re[base : base + _NC, :]
+            bi = ch_im[base : base + _NC, :]
+            for bit in (64, 32, 16, 8, 4, 2, 1):
+                take = (r8 & bit) != 0
+                br = jnp.where(take, pltpu.roll(br, _CHUNK - bit, 1), br)
+                bi = jnp.where(take, pltpu.roll(bi, _CHUNK - bit, 1), bi)
+            ch_re[base : base + _NC, :] = br
+            ch_im[base : base + _NC, :] = bi
+    chr_ = ch_re[:, :]
+    chi_ = ch_im[:, :]
 
-    M = m_ref[:]  # (864, 256) padded
-    A = jnp.dot(fr_re, M, preferred_element_type=jnp.float32, precision=prec)
-    Bm = jnp.dot(fr_im, M, preferred_element_type=jnp.float32, precision=prec)
+    # ---- matched filter + phase, one fat matmul pair per step ----------
+    A = _dot_mf(chr_, m_ref[:, :], m_h, m_l, mf_mode)
+    Bm = _dot_mf(chi_, m_ref[:, :], m_h, m_l, mf_mode)
 
-    # phase: s = sum fr * sv (sv already holds the conjugated template)
-    s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1)
+    s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1); sv holds conj template
     s_im = Bm[:, 144:145] + A[:, 145:146]
     mag = jnp.sqrt(s_re * s_re + s_im * s_im)
     inv = 1.0 / jnp.maximum(mag, 1e-30)
-    c_re = s_re * inv          # cfac = conj(s)/|s|
-    c_im = -s_im * inv
+    cre = s_re * inv  # cfac = conj(s)/|s|
+    cim = -s_im * inv
 
-    # derotated matched-filter outputs (72 Q | 72 I) -> interleaved 144
-    sb_q = c_re * Bm[:, 0:72] + c_im * A[:, 0:72]
-    sb_i = c_re * A[:, 72:144] - c_im * Bm[:, 72:144]
-    sb144 = (jnp.dot(sb_q, pq_ref[:], preferred_element_type=jnp.float32,
-                     precision=prec)
-             + jnp.dot(sb_i, pi_ref[:], preferred_element_type=jnp.float32,
-                       precision=prec))[:, :144]
+    even = masks_ref[0:1, :]
+    in144 = masks_ref[1:2, :]
+    ssign = masks_ref[2:3, :]
+    # derotation with the interleave folded into column order:
+    # even (Q) lanes: c_re*Bm + c_im*A ; odd (I) lanes: c_re*A - c_im*Bm
+    sb144 = (cre * jnp.where(even != 0.0, Bm, A)
+             + cim * jnp.where(even != 0.0, A, -Bm)) * in144  # (R, 256)
 
-    # normalization (softbits_kernel.cuh:186-201)
-    sav = jnp.mean(sb144, axis=-1, keepdims=True)
-    s2av = jnp.mean(sb144 * sb144, axis=-1, keepdims=True)
+    # normalization over the 144 real softbits (softbits_kernel.cuh:186-201)
+    sav = jnp.sum(sb144, axis=-1, keepdims=True) * (1.0 / 144.0)
+    s2av = jnp.sum(sb144 * sb144, axis=-1, keepdims=True) * (1.0 / 144.0)
+    # E[(x-m)^2] over the masked 144 lanes == E[x^2] - m^2 (mask holds zeros)
     ssig = jnp.sqrt(jnp.maximum(s2av - sav * sav, 1e-30))
     scale = 2.0 / (ssig * (C.SOFTBIT_SIGMA ** 2))
 
-    # nbadsync = (16 - sum hard*sync_sign)/2 == per-word (8-v)/2 summed
-    ssign = ssign_ref[0:1, :144]  # (1, 144)
     hard = jnp.where(sb144 < 0.0, -1.0, 1.0)
     agree = jnp.sum(jnp.where(ssign != 0.0, hard * ssign, 0.0), axis=-1,
                     keepdims=True)
-    nbad = (16.0 - agree) * 0.5  # (R, 1)
+    nbad = (16.0 - agree) * 0.5
 
-    sb128 = scale * jnp.dot(sb144, dsel_ref[:], preferred_element_type=jnp.float32,
-                            precision=prec)
-    sb_out[:, :] = sb128  # (f_group*R, 128)
+    # the 128 data softbits: interleaved lanes [8:56) + [64:144)
+    sb128 = jnp.concatenate([sb144[:, 8:56], sb144[:, 64:144]], axis=-1)
+    sb_out[:, :] = scale * sb128
     nbad_out[:, :] = jnp.broadcast_to(
-        nbad, (f_group * n_pat * _NC, 128)).astype(jnp.int32)
+        nbad, (n_pat * _NC * _FG, 128)).astype(jnp.int32)
+
+
+def _tile_window(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N,) complex window -> (704, 128) re/im tiles of the doubled signal,
+    replicated per step frequency (8 blocks of 88 rows)."""
+    ext = jnp.concatenate([c, c, jnp.zeros(((_ZROWS * 128) - 2 * _N,), c.dtype)])
+    tile = ext.reshape(_ZROWS, 128)
+    rep = jnp.tile(tile, (_FG, 1))
+    return rep.real.astype(jnp.float32), rep.imag.astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _w2_tables(freqs_key: tuple) -> tuple[np.ndarray, np.ndarray]:
-    """Doubled mix table (Fp, _Z_EXT) re/im: W2[f, t] = exp(-2j pi f (t mod N)
-    / fs) for t < 2N, zero-padded — a jit constant, built once per config."""
+def _w_tiles(freqs_key: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Mix-carrier tables in tile layout: (NSTEP*704, 128) re/im with
+    W[f, t] = exp(-2j pi f t / fs), doubled along t, zero-padded."""
     freqs = np.asarray(freqs_key, dtype=np.float64)
-    FG = 8
-    Fp = len(freqs) + (-len(freqs) % FG)
+    F = len(freqs)
+    Fp = F + (-F % _FG)
     t = np.arange(_N)
     phase = np.mod(np.outer(freqs, t) / C.SAMPLE_RATE, 1.0)
-    W = np.exp(-2j * np.pi * phase)
-    W2 = np.zeros((Fp, _Z_EXT), dtype=np.complex64)
-    W2[: len(freqs), :_N] = W
-    W2[: len(freqs), _N : 2 * _N] = W
-    return np.ascontiguousarray(W2.real.astype(np.float32)), \
-        np.ascontiguousarray(W2.imag.astype(np.float32))
+    W = np.exp(-2j * np.pi * phase).astype(np.complex64)
+    ext = np.zeros((Fp, _ZROWS * 128), dtype=np.complex64)
+    ext[:F, :_N] = W
+    ext[:F, _N : 2 * _N] = W
+    tiles = ext.reshape(Fp * _ZROWS, 128)
+    return (np.ascontiguousarray(tiles.real),
+            np.ascontiguousarray(tiles.imag))
 
 
 def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
@@ -207,11 +321,8 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
                  fast_math: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-window demod of all candidates (vmap-batchable).
 
-    c: (N,) complex64 analytic window (the per-frequency mix-down happens
-       in-kernel against the constant carrier table — softbits.mix_all and
-       pattern_average semantics without either array touching HBM).
-    freqs: static tuple of search frequencies (or tables.FreqTables, from
-       which only the frequency count/grid is used via its W table).
+    c: (N,) complex64 analytic window. freqs: static tuple of search
+    frequencies or tables.FreqTables (sharded path: W arrives traced).
     pos: (F, P, 8) int32 candidate positions in [0, N).
     Returns (softbits (F, P, 8, 128) f32, nbadsync (F, P, 8) i32).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
@@ -220,79 +331,103 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _, Pn, _ = pos.shape
-    F = pos.shape[0]
-    R = Pn * _NC
-    FG = 8  # frequencies per grid step (sublane-aligned blocks, fat matmuls)
-    f_pad = -F % FG
+    F, Pn, _ = pos.shape
+    f_pad = -F % _FG
     Fp = F + f_pad
+    nstep = Fp // _FG
 
     if isinstance(freqs, FreqTables):
-        # sharded path: W arrives as a traced array; double it in-graph
-        W = freqs.W
-        W2 = jnp.concatenate(
-            [W, W, jnp.zeros((F, _Z_EXT - 2 * _N), W.dtype)], axis=-1)
+        W = freqs.W  # (F, N) traced
+        ext = jnp.concatenate(
+            [W, W, jnp.zeros((F, _ZROWS * 128 - 2 * _N), W.dtype)], axis=1)
         if f_pad:
-            W2 = jnp.concatenate(
-                [W2, jnp.zeros((f_pad, _Z_EXT), W.dtype)], axis=0)
-        w_re, w_im = W2.real, W2.imag
+            ext = jnp.concatenate(
+                [ext, jnp.zeros((f_pad, _ZROWS * 128), W.dtype)], axis=0)
+        tiles = ext.reshape(Fp * _ZROWS, 128)
+        w_re, w_im = tiles.real.astype(jnp.float32), tiles.imag.astype(jnp.float32)
     else:
         w_re, w_im = (jnp.asarray(a) for a in
-                      _w2_tables(tuple(float(f) for f in freqs)))
+                      _w_tiles(tuple(float(f) for f in freqs)))
 
-    # the window, doubled, replicated into an 8-sublane block
-    c_ext = jnp.concatenate([c, c, jnp.zeros((_Z_EXT - 2 * _N,), c.dtype)])
-    c_re = jnp.broadcast_to(c_ext.real[None, :], (8, _Z_EXT))
-    c_im = jnp.broadcast_to(c_ext.imag[None, :], (8, _Z_EXT))
+    c_re, c_im = _tile_window(c)
 
-    # positions ride VMEM, row f = freq f's R starts (a scalar-prefetch
-    # array this size overflows SMEM)
-    pos_vmem = jnp.zeros((Fp, 128), jnp.int32)
-    pos_vmem = pos_vmem.at[:F, :R].set(pos.reshape(F, R))
+    # positions in kernel-friendly transposed layout: (nstep*48, 128) with
+    # row s*48 + p*8 + k, lane f = pos[s*8+f, p, k]
+    pos_p = jnp.concatenate(
+        [pos, jnp.zeros((f_pad, Pn, _NC), pos.dtype)], axis=0) if f_pad else pos
+    pos_t = pos_p.reshape(nstep, _FG, Pn * _NC).transpose(0, 2, 1)
+    pos_t = jnp.concatenate(
+        [pos_t, jnp.zeros((nstep, Pn * _NC, 128 - _FG), pos_t.dtype)], axis=2)
+    pos_rows = pos_t.reshape(nstep * Pn * _NC, 128)
+    pad_rows = -(Pn * _NC) % 8  # sublane-8 alignment of the block
+    if pad_rows:
+        pos_rows = pos_rows.reshape(nstep, Pn * _NC, 128)
+        pos_rows = jnp.concatenate(
+            [pos_rows, jnp.zeros((nstep, pad_rows, 128), pos_rows.dtype)],
+            axis=1).reshape(nstep * (Pn * _NC + pad_rows), 128)
+    prow_blk = Pn * _NC + pad_rows
 
-    M = _demod_matrix()
-    P_q, P_i, DSEL = _sb_maps()
+    M = _mf_matrix()
+    mh = M.astype(np.float32).astype(jnp.bfloat16)
+    ml = (M - np.asarray(mh, np.float32)).astype(jnp.bfloat16)
+    even, in144, ssign = _lane_masks()
+    masks = np.concatenate([even, in144, ssign], axis=0)
+    masks = np.concatenate(
+        [masks, np.zeros((5, 256), np.float32)], axis=0)  # (8, 256)
 
-    prec = (jax.lax.Precision.DEFAULT if fast_math
-            else jax.lax.Precision.HIGHEST)
-    kernel = functools.partial(_demod_kernel, Pn, FG, prec)
-    const = lambda r, cc: pl.BlockSpec((r, cc), lambda f: (0, 0),
+    # precision ladder (Mosaic in-kernel dots only do DEFAULT/HIGHEST; the
+    # 3-pass bf16 splits are manual): interpreter -> plain f32 everywhere.
+    mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
+    exact3 = not interpret
+    R = Pn * _NC * _FG  # output rows per step
+
+    kernel = functools.partial(_demod_kernel, Pn, mf_mode, exact3)
+    const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
     sb, nbad128 = pl.pallas_call(
         kernel,
-        grid=(Fp // FG,),
+        grid=(nstep,),
         in_specs=[
-            const(8, _Z_EXT),  # c re (replicated)
-            const(8, _Z_EXT),  # c im
-            pl.BlockSpec((FG, _Z_EXT), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FG, _Z_EXT), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FG, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            const(_FRAME, 256),
-            const(72, 256),
-            const(72, 256),
-            const(144, 128),
-            const(8, 256),
+            const(_FG * _ZROWS, 128),  # c re (replicated per freq block)
+            const(_FG * _ZROWS, 128),  # c im
+            pl.BlockSpec((_FG * _ZROWS, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # W re
+            pl.BlockSpec((_FG * _ZROWS, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # W im
+            pl.BlockSpec((prow_blk, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # pos_t
+            const(_CHUNK, 256),  # matched filter f32
+            const(_CHUNK, 256),  # matched filter bf16 high part
+            const(_CHUNK, 256),  # matched filter bf16 low part
+            const(8, 256),       # lane masks
         ],
         out_specs=[
-            pl.BlockSpec((FG * R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FG * R, 128), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Fp * R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Fp * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nstep * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nstep * R, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z re
-            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # mixed rows z im
-            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # pattern-averaged re
-            pltpu.VMEM((FG, _Z_EXT), jnp.float32),  # pattern-averaged im
+            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # z re
+            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # z im
+            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs re
+            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs im
+            pltpu.VMEM((_FG * _AROWS, 128), jnp.float32),  # acc re
+            pltpu.VMEM((_FG * _AROWS, 128), jnp.float32),  # acc im
+            pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks re
+            pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks im
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(
-        c_re, c_im, w_re, w_im, pos_vmem, M, P_q, P_i, DSEL, _sync_sign(),
-    )
+    )(c_re, c_im, w_re, w_im, pos_rows, M, np.asarray(mh), np.asarray(ml),
+      masks)
+
+    # rows: (step, pattern, f_in_group, k) -> (F, P, 8)
+    sb = sb.reshape(nstep, Pn, _FG, _NC, 128).transpose(0, 2, 1, 3, 4)
     sb = sb.reshape(Fp, Pn, _NC, 128)[:F]
-    nbad = nbad128[:, 0].reshape(Fp, Pn, _NC)[:F]
+    nbad = nbad128[:, 0].reshape(nstep, Pn, _FG, _NC).transpose(0, 2, 1, 3)
+    nbad = nbad.reshape(Fp, Pn, _NC)[:F]
     return sb, nbad
