@@ -64,6 +64,11 @@ assert 2 * _N == 81 * 128
 # the accumulated signal at rows <= 47 covers start+863+864*5 < 2N.
 _AROWS = 48
 _CHUNK = 1024
+_MFK = 896  # matched-filter K: frame 864 rounded up to a lane-tile multiple
+
+# dev-only stage bisect knob (tools/_demod_r2_bisect.py): names of kernel
+# stages to skip when timing — NEVER set in production code
+_debug_skip: tuple = ()
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,7 +81,7 @@ def _mf_matrix() -> np.ndarray:
     """
     WQ, WI = _matched_filter_mats()
     sv = _sync_vec()
-    M = np.zeros((_CHUNK, 256), dtype=np.float32)
+    M = np.zeros((_MFK, 256), dtype=np.float32)
     M[:_FRAME, 0:144:2] = WQ
     M[:_FRAME, 1:144:2] = WI
     M[:_FRAME, 144] = sv.real
@@ -159,10 +164,10 @@ def _dot_mf(ch, m_f32, m_h, m_l, mode: str):
             + _bf16_dot(chm, m_h[:, :]))
 
 
-def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool,
+def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool, skip: frozenset,
                   c_re, c_im, w_re, w_im, pos_ref, m_ref, m_h, m_l, masks_ref,
                   sb_out, nbad_out,
-                  z_re, z_im, zs_re, zs_im, acc_re, acc_im, ch_re, ch_im):
+                  z_re, z_im, zs_re, zs_im, acc_ri, ch_re, ch_im, col_s):
     # ---- mix: z = c * W for the step's 8 frequencies, in tile layout ----
     cr, ci = c_re[:, :], c_im[:, :]
     wr, wi = w_re[:, :], w_im[:, :]
@@ -174,34 +179,42 @@ def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool,
 
     def extract(p: int):
         """One-hot matmul extraction of pattern p's 64 candidate chunks into
-        ch rows [p*64, (p+1)*64): row p*64 + f*8 + k, lanes i*128+l."""
+        ch rows [p*64, (p+1)*64): row p*64 + f*8 + k, lanes i*128+l. The acc
+        tiles carry re|im packed on lanes 0:128|128:256, so one matmul per
+        (pattern, freq) extracts both planes. Also drops each candidate's
+        raw position into col_s (the residual stage reads it back as one
+        (P*64, 1) column — Mosaic cannot concat sublane slices taken at
+        different offsets, but a memory roundtrip normalizes the layout)."""
+        if "extract" in skip:
+            return
         for f in range(_FG):
             pos8 = pos_ref[p * _NC : (p + 1) * _NC, f : f + 1]  # (8, 1)
+            col_s[p * _NC * _FG + f * _NC : p * _NC * _FG + (f + 1) * _NC,
+                  0:1] = pos8
             q8 = pos8 // 128
             qcol = pltpu.repeat(q8, 8, 0)  # (64, 1): row i*8+k -> q_k
             oh = jnp.where((qcol + icol) == iota48, 1.0, 0.0)  # (64, 48)
-            ar = acc_re[f * _AROWS : (f + 1) * _AROWS, :]
-            ai = acc_im[f * _AROWS : (f + 1) * _AROWS, :]
-            pr = _dot_onehot(oh, ar, exact3)
-            pi_ = _dot_onehot(oh, ai, exact3)
-            base = p * _NC * 8 + f * _NC
+            a = acc_ri[f * _AROWS : (f + 1) * _AROWS, :]  # (48, 256) re|im
+            pri = _dot_onehot(oh, a, exact3)  # (64, 256)
+            base = p * _NC * _FG + f * _NC
             for i in range(8):
                 ch_re[base : base + _NC, i * 128 : (i + 1) * 128] = \
-                    pr[i * _NC : (i + 1) * _NC, :]
+                    pri[i * _NC : (i + 1) * _NC, 0:128]
                 ch_im[base : base + _NC, i * 128 : (i + 1) * 128] = \
-                    pi_[i * _NC : (i + 1) * _NC, :]
+                    pri[i * _NC : (i + 1) * _NC, 128:256]
 
-    def add_rows(dst_re, dst_im, src_re, src_im):
-        """acc (+)= src, taking the first 48 rows of each 88-row freq block."""
+    def add_rows(first: bool, src_re, src_im):
+        """acc (+)= src, taking the first 48 rows of each 88-row freq block
+        into the packed re|im halves."""
         for f in range(_FG):
             a, b = f * _AROWS, (f + 1) * _AROWS
             s = f * _ZROWS
-            if dst_re is None:
-                acc_re[a:b, :] = src_re[s : s + _AROWS, :]
-                acc_im[a:b, :] = src_im[s : s + _AROWS, :]
+            if first:
+                acc_ri[a:b, 0:128] = src_re[s : s + _AROWS, :]
+                acc_ri[a:b, 128:256] = src_im[s : s + _AROWS, :]
             else:
-                acc_re[a:b, :] = acc_re[a:b, :] + src_re[s : s + _AROWS, :]
-                acc_im[a:b, :] = acc_im[a:b, :] + src_im[s : s + _AROWS, :]
+                acc_ri[a:b, 0:128] = acc_ri[a:b, 0:128] + src_re[s : s + _AROWS, :]
+                acc_ri[a:b, 128:256] = acc_ri[a:b, 128:256] + src_im[s : s + _AROWS, :]
 
     def shift_zs(rows: int, lanes: int):
         for f in range(_FG):
@@ -214,46 +227,46 @@ def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool,
     # ---- prefix patterns 0..min(n_pat,6)-1 -----------------------------
     zs_re[:, :] = z_re[:, :]
     zs_im[:, :] = z_im[:, :]
-    add_rows(None, None, z_re, z_im)  # acc = z
+    add_rows(True, z_re, z_im)  # acc = z
     extract(0)
     for p in range(1, min(n_pat, 6)):
-        shift_zs(6, 96)  # incremental +864
-        add_rows(acc_re, acc_im, zs_re, zs_im)
+        if "dance" not in skip:
+            shift_zs(6, 96)  # incremental +864
+            add_rows(False, zs_re, zs_im)
         extract(p)
     if n_pat >= 7:  # gap pattern 6: frames {0, 3}
         zs_re[:, :] = z_re[:, :]
         zs_im[:, :] = z_im[:, :]
         shift_zs(20, 32)  # +2592
-        add_rows(None, None, z_re, z_im)
-        add_rows(acc_re, acc_im, zs_re, zs_im)
+        add_rows(True, z_re, z_im)
+        add_rows(False, zs_re, zs_im)
         extract(6)
         if n_pat >= 8:  # gap pattern 7: frames {0, 3, 4}
             shift_zs(6, 96)  # +3456 total
-            add_rows(acc_re, acc_im, zs_re, zs_im)
+            add_rows(False, zs_re, zs_im)
             extract(7)
 
-    # ---- residual shift: start % 128, bit-decomposed static rolls ------
-    # (Mosaic cannot concat sublane slices taken at different offsets into
-    # one (P*64, 1) column, so the shift runs per (pattern, freq) block with
-    # that block's own (8, 1) residual column.)
-    for p in range(n_pat):
-        for f in range(_FG):
-            r8 = pos_ref[p * _NC : (p + 1) * _NC, f : f + 1] % 128
-            base = p * _NC * _FG + f * _NC
-            br = ch_re[base : base + _NC, :]
-            bi = ch_im[base : base + _NC, :]
-            for bit in (64, 32, 16, 8, 4, 2, 1):
-                take = (r8 & bit) != 0
-                br = jnp.where(take, pltpu.roll(br, _CHUNK - bit, 1), br)
-                bi = jnp.where(take, pltpu.roll(bi, _CHUNK - bit, 1), bi)
-            ch_re[base : base + _NC, :] = br
-            ch_im[base : base + _NC, :] = bi
+    # ---- residual shift: start % 128, bit-decomposed static rolls on the
+    # whole (P*64, 1024) chunk block at once; per-row residuals come back
+    # from the col_s scratch as one column ------------------------------
     chr_ = ch_re[:, :]
     chi_ = ch_im[:, :]
+    if "residual" not in skip:
+        rcol = col_s[:, 0:1] % 128  # (P*64, 1)
+        for bit in (64, 32, 16, 8, 4, 2, 1):
+            take = (rcol & bit) != 0
+            chr_ = jnp.where(take, pltpu.roll(chr_, _CHUNK - bit, 1), chr_)
+            chi_ = jnp.where(take, pltpu.roll(chi_, _CHUNK - bit, 1), chi_)
 
     # ---- matched filter + phase, one fat matmul pair per step ----------
-    A = _dot_mf(chr_, m_ref[:, :], m_h, m_l, mf_mode)
-    Bm = _dot_mf(chi_, m_ref[:, :], m_h, m_l, mf_mode)
+    # (K trimmed to 896: the shifted frame occupies lanes [0, 864); lanes
+    # beyond carry wrap garbage and the matrix rows there are zero anyway)
+    if "mf" in skip:
+        A = chr_[:, :256]
+        Bm = chi_[:, :256]
+    else:
+        A = _dot_mf(chr_[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
+        Bm = _dot_mf(chi_[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
 
     s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1); sv holds conj template
     s_im = Bm[:, 144:145] + A[:, 145:146]
@@ -381,7 +394,8 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
     exact3 = not interpret
     R = Pn * _NC * _FG  # output rows per step
 
-    kernel = functools.partial(_demod_kernel, Pn, mf_mode, exact3)
+    kernel = functools.partial(_demod_kernel, Pn, mf_mode, exact3,
+                               frozenset(_debug_skip))
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
     sb, nbad128 = pl.pallas_call(
@@ -396,9 +410,9 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
                          memory_space=pltpu.VMEM),  # W im
             pl.BlockSpec((prow_blk, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # pos_t
-            const(_CHUNK, 256),  # matched filter f32
-            const(_CHUNK, 256),  # matched filter bf16 high part
-            const(_CHUNK, 256),  # matched filter bf16 low part
+            const(_MFK, 256),  # matched filter f32
+            const(_MFK, 256),  # matched filter bf16 high part
+            const(_MFK, 256),  # matched filter bf16 low part
             const(8, 256),       # lane masks
         ],
         out_specs=[
@@ -414,10 +428,10 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # z im
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs re
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs im
-            pltpu.VMEM((_FG * _AROWS, 128), jnp.float32),  # acc re
-            pltpu.VMEM((_FG * _AROWS, 128), jnp.float32),  # acc im
+            pltpu.VMEM((_FG * _AROWS, 256), jnp.float32),  # acc re|im packed
             pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks re
             pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks im
+            pltpu.VMEM((Pn * _NC * _FG, 128), jnp.int32),  # candidate pos col
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
