@@ -61,6 +61,15 @@ def stream_to_windows(samples: np.ndarray, read_mode: int = 1) -> np.ndarray:
     return np.ascontiguousarray(samples[idx])
 
 
+def _device_put_complex(a: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """device_put for complex hosts arrays that works over remote-device
+    tunnels where complex64 H2D transfers are unimplemented: ship the float32
+    planes and recombine on device (complex math inside jit is fine)."""
+    re = jax.device_put(np.ascontiguousarray(a.real), sharding)
+    im = jax.device_put(np.ascontiguousarray(a.imag), sharding)
+    return jax.jit(jax.lax.complex, out_shardings=sharding)(re, im)
+
+
 class MeshDecoder:
     """Sharded decode of a window batch over a (time, freq) mesh.
 
@@ -81,7 +90,7 @@ class MeshDecoder:
             B=P(None, "freq"), E=P(None, "freq"), chi=P(None, "freq"), W=P("freq", None)
         )
         self._tbl = FreqTables(*(
-            jax.device_put(a, NamedSharding(mesh, s))
+            _device_put_complex(a, NamedSharding(mesh, s))
             for a, s in zip(tbl, self._tbl_specs)
         ))
         self._fn = self._build()
