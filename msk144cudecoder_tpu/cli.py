@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max bad sync bits per candidate (default 1)")
     p.add_argument("--max-survivors", type=int, default=512,
                    help="static LDPC batch size (top-K survivors)")
+    p.add_argument("--candidates-per-pattern", type=int, default=8,
+                   help="top-k candidate lags demodulated per (frequency, "
+                        "pattern), 1..8 (default 8 = reference behavior; "
+                        "lower k cuts demod work proportionally, keeping the "
+                        "best-sync lags)")
     p.add_argument("--window-batch", type=int, default=1,
                    help="windows decoded per device call")
     p.add_argument("--platform", type=str, default=None,
@@ -61,6 +66,7 @@ def config_from_args(args: argparse.Namespace) -> DecoderConfig:
         analytic_method=args.analytic_method,
         nbadsync_threshold=args.nbadsync_threshold,
         max_survivors=args.max_survivors,
+        candidates_per_pattern=args.candidates_per_pattern,
         window_batch=args.window_batch,
     )
     if args.center_frequency is not None:

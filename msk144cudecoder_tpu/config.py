@@ -38,6 +38,15 @@ class DecoderConfig:
     max_results: int = 64  # result slots returned per window: the K-survivor
     # table is compacted found-first on device so only decodes (plus the best
     # non-decodes for diagnostics) cross the host link
+    candidates_per_pattern: int = 8  # top-k candidate lags demodulated per
+    # (frequency, pattern). The reference hard-codes 8 (common.h:34); the scan
+    # emits candidates in strictly descending xb order, so k < 8 demodulates
+    # only the best-sync k lags of each slot. Decodable signals essentially
+    # always rank first at their own (freq, pattern) — see
+    # tools/sensitivity_sweep.py results in ARCHITECTURE.md — so lowering k
+    # trades diagnostics-row parity (chance noise survivors at xb rank > k
+    # are not tracked) for a proportional cut of the demod kernel's
+    # per-candidate extraction/shift/matched-filter work.
     fast_math: bool = False  # default MXU precision (bf16 passes) in the
     # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
     # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).
@@ -54,6 +63,10 @@ class DecoderConfig:
             raise ValueError(f"read_mode must be 1 or 2, got {self.read_mode}")
         if self.analytic_method not in (1, 2):
             raise ValueError(f"analytic_method must be 1 or 2, got {self.analytic_method}")
+        if not 1 <= self.candidates_per_pattern <= C.NUM_CANDIDATES_PER_PATTERN:
+            raise ValueError(
+                f"candidates_per_pattern must be in [1, {C.NUM_CANDIDATES_PER_PATTERN}],"
+                f" got {self.candidates_per_pattern}")
 
     @classmethod
     def create(cls, **kwargs) -> "DecoderConfig":
@@ -76,7 +89,7 @@ class DecoderConfig:
 
     @property
     def num_candidates(self) -> int:
-        return self.num_freqs * self.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+        return self.num_freqs * self.scan_depth * self.candidates_per_pattern
 
     @property
     def left_bound(self) -> float:

@@ -164,7 +164,8 @@ def _dot_mf(ch, m_f32, m_h, m_l, mode: str):
             + _bf16_dot(chm, m_h[:, :]))
 
 
-def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool, skip: frozenset,
+def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
+                  skip: frozenset,
                   c_re, c_im, w_re, w_im, pos_ref, m_ref, m_h, m_l, masks_ref,
                   sb_out, nbad_out,
                   z_re, z_im, zs_re, zs_im, acc_ri, ch_re, ch_im, col_s):
@@ -174,12 +175,13 @@ def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool, skip: frozenset,
     z_re[:, :] = cr * wr - ci * wi
     z_im[:, :] = cr * wi + ci * wr
 
-    iota48 = jax.lax.broadcasted_iota(jnp.int32, (_NC * 8, _AROWS), 1)
-    icol = jax.lax.broadcasted_iota(jnp.int32, (_NC * 8, 1), 0) // _NC
+    iota48 = jax.lax.broadcasted_iota(jnp.int32, (nc * 8, _AROWS), 1)
+    icol = jax.lax.broadcasted_iota(jnp.int32, (nc * 8, 1), 0) // nc
 
     def extract(p: int):
-        """One-hot matmul extraction of pattern p's 64 candidate chunks into
-        ch rows [p*64, (p+1)*64): row p*64 + f*8 + k, lanes i*128+l. The acc
+        """One-hot matmul extraction of pattern p's 8*nc candidate chunks
+        into ch rows [p*8nc, (p+1)*8nc): row p*8nc + f*nc + k, lanes i*128+l.
+        The acc
         tiles carry re|im packed on lanes 0:128|128:256, so one matmul per
         (pattern, freq) extracts both planes. Also drops each candidate's
         raw position into col_s (the residual stage reads it back as one
@@ -188,20 +190,20 @@ def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool, skip: frozenset,
         if "extract" in skip:
             return
         for f in range(_FG):
-            pos8 = pos_ref[p * _NC : (p + 1) * _NC, f : f + 1]  # (8, 1)
-            col_s[p * _NC * _FG + f * _NC : p * _NC * _FG + (f + 1) * _NC,
+            pos8 = pos_ref[p * nc : (p + 1) * nc, f : f + 1]  # (nc, 1)
+            col_s[p * nc * _FG + f * nc : p * nc * _FG + (f + 1) * nc,
                   0:1] = pos8
             q8 = pos8 // 128
-            qcol = pltpu.repeat(q8, 8, 0)  # (64, 1): row i*8+k -> q_k
-            oh = jnp.where((qcol + icol) == iota48, 1.0, 0.0)  # (64, 48)
+            qcol = pltpu.repeat(q8, 8, 0)  # (8nc, 1): row i*nc+k -> q_k
+            oh = jnp.where((qcol + icol) == iota48, 1.0, 0.0)  # (8nc, 48)
             a = acc_ri[f * _AROWS : (f + 1) * _AROWS, :]  # (48, 256) re|im
-            pri = _dot_onehot(oh, a, exact3)  # (64, 256)
-            base = p * _NC * _FG + f * _NC
+            pri = _dot_onehot(oh, a, exact3)  # (8nc, 256)
+            base = p * nc * _FG + f * nc
             for i in range(8):
-                ch_re[base : base + _NC, i * 128 : (i + 1) * 128] = \
-                    pri[i * _NC : (i + 1) * _NC, 0:128]
-                ch_im[base : base + _NC, i * 128 : (i + 1) * 128] = \
-                    pri[i * _NC : (i + 1) * _NC, 128:256]
+                ch_re[base : base + nc, i * 128 : (i + 1) * 128] = \
+                    pri[i * nc : (i + 1) * nc, 0:128]
+                ch_im[base : base + nc, i * 128 : (i + 1) * 128] = \
+                    pri[i * nc : (i + 1) * nc, 128:256]
 
     def add_rows(first: bool, src_re, src_im):
         """acc (+)= src, taking the first 48 rows of each 88-row freq block
@@ -299,7 +301,7 @@ def _demod_kernel(n_pat: int, mf_mode: str, exact3: bool, skip: frozenset,
     sb128 = jnp.concatenate([sb144[:, 8:56], sb144[:, 64:144]], axis=-1)
     sb_out[:, :] = scale * sb128
     nbad_out[:, :] = jnp.broadcast_to(
-        nbad, (n_pat * _NC * _FG, 128)).astype(jnp.int32)
+        nbad, (n_pat * nc * _FG, 128)).astype(jnp.int32)
 
 
 def _tile_window(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -336,15 +338,17 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
 
     c: (N,) complex64 analytic window. freqs: static tuple of search
     frequencies or tables.FreqTables (sharded path: W arrives traced).
-    pos: (F, P, 8) int32 candidate positions in [0, N).
-    Returns (softbits (F, P, 8, 128) f32, nbadsync (F, P, 8) i32).
+    pos: (F, P, k) int32 candidate positions in [0, N); k <= 8 is the
+    cfg.candidates_per_pattern knob (scan emits lags in descending xb order,
+    so k < 8 keeps the best-sync k lags per slot).
+    Returns (softbits (F, P, k, 128) f32, nbadsync (F, P, k) i32).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
     """
     from .tables import FreqTables
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    F, Pn, _ = pos.shape
+    F, Pn, nc = pos.shape
     f_pad = -F % _FG
     Fp = F + f_pad
     nstep = Fp // _FG
@@ -367,18 +371,18 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
     # positions in kernel-friendly transposed layout: (nstep*48, 128) with
     # row s*48 + p*8 + k, lane f = pos[s*8+f, p, k]
     pos_p = jnp.concatenate(
-        [pos, jnp.zeros((f_pad, Pn, _NC), pos.dtype)], axis=0) if f_pad else pos
-    pos_t = pos_p.reshape(nstep, _FG, Pn * _NC).transpose(0, 2, 1)
+        [pos, jnp.zeros((f_pad, Pn, nc), pos.dtype)], axis=0) if f_pad else pos
+    pos_t = pos_p.reshape(nstep, _FG, Pn * nc).transpose(0, 2, 1)
     pos_t = jnp.concatenate(
-        [pos_t, jnp.zeros((nstep, Pn * _NC, 128 - _FG), pos_t.dtype)], axis=2)
-    pos_rows = pos_t.reshape(nstep * Pn * _NC, 128)
-    pad_rows = -(Pn * _NC) % 8  # sublane-8 alignment of the block
+        [pos_t, jnp.zeros((nstep, Pn * nc, 128 - _FG), pos_t.dtype)], axis=2)
+    pos_rows = pos_t.reshape(nstep * Pn * nc, 128)
+    pad_rows = -(Pn * nc) % 8  # sublane-8 alignment of the block
     if pad_rows:
-        pos_rows = pos_rows.reshape(nstep, Pn * _NC, 128)
+        pos_rows = pos_rows.reshape(nstep, Pn * nc, 128)
         pos_rows = jnp.concatenate(
             [pos_rows, jnp.zeros((nstep, pad_rows, 128), pos_rows.dtype)],
-            axis=1).reshape(nstep * (Pn * _NC + pad_rows), 128)
-    prow_blk = Pn * _NC + pad_rows
+            axis=1).reshape(nstep * (Pn * nc + pad_rows), 128)
+    prow_blk = Pn * nc + pad_rows
 
     M = _mf_matrix()
     mh = M.astype(np.float32).astype(jnp.bfloat16)
@@ -392,9 +396,9 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
     # 3-pass bf16 splits are manual): interpreter -> plain f32 everywhere.
     mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     exact3 = not interpret
-    R = Pn * _NC * _FG  # output rows per step
+    R = Pn * nc * _FG  # output rows per step
 
-    kernel = functools.partial(_demod_kernel, Pn, mf_mode, exact3,
+    kernel = functools.partial(_demod_kernel, Pn, nc, mf_mode, exact3,
                                frozenset(_debug_skip))
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -429,9 +433,9 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs re
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs im
             pltpu.VMEM((_FG * _AROWS, 256), jnp.float32),  # acc re|im packed
-            pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks re
-            pltpu.VMEM((Pn * _NC * _FG, _CHUNK), jnp.float32),  # chunks im
-            pltpu.VMEM((Pn * _NC * _FG, 128), jnp.int32),  # candidate pos col
+            pltpu.VMEM((Pn * nc * _FG, _CHUNK), jnp.float32),  # chunks re
+            pltpu.VMEM((Pn * nc * _FG, _CHUNK), jnp.float32),  # chunks im
+            pltpu.VMEM((Pn * nc * _FG, 128), jnp.int32),  # candidate pos col
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -440,8 +444,8 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
       masks)
 
     # rows: (step, pattern, f_in_group, k) -> (F, P, 8)
-    sb = sb.reshape(nstep, Pn, _FG, _NC, 128).transpose(0, 2, 1, 3, 4)
-    sb = sb.reshape(Fp, Pn, _NC, 128)[:F]
-    nbad = nbad128[:, 0].reshape(nstep, Pn, _FG, _NC).transpose(0, 2, 1, 3)
-    nbad = nbad.reshape(Fp, Pn, _NC)[:F]
+    sb = sb.reshape(nstep, Pn, _FG, nc, 128).transpose(0, 2, 1, 3, 4)
+    sb = sb.reshape(Fp, Pn, nc, 128)[:F]
+    nbad = nbad128[:, 0].reshape(nstep, Pn, _FG, nc).transpose(0, 2, 1, 3)
+    nbad = nbad.reshape(Fp, Pn, nc)[:F]
     return sb, nbad

@@ -47,7 +47,7 @@ _F_TILE = 128  # frequency lanes per grid step (Mosaic requires 128-wide lane
 _PATTERN_TERMS = [tuple(np.nonzero(C.PATTERN_MASKS[p])[0]) for p in range(8)]
 
 
-def _scan_kernel(scan_depth: int, prec,
+def _scan_kernel(scan_depth: int, num_cand: int, prec,
                  cmat_ri, bnd_ri,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
@@ -108,9 +108,9 @@ def _scan_kernel(scan_depth: int, prec,
         smax = jnp.concatenate(maxs, axis=0)  # (21, Ft)
         sarg = jnp.concatenate(args, axis=0)  # (21, Ft)
 
-        # top-8 slices per freq: repeated max + mask-out
+        # top-k slices per freq (descending xb): repeated max + mask-out
         cur = smax
-        for k in range(_NC):
+        for k in range(num_cand):
             best = jnp.max(cur, axis=0, keepdims=True)  # (1, Ft)
             bslice = jnp.argmax(cur, axis=0).astype(jnp.int32)  # (Ft,)
             # gather sarg[bslice, f] per lane via mask+reduce (no sublane
@@ -118,7 +118,7 @@ def _scan_kernel(scan_depth: int, prec,
             hit = lane_iota == bslice[None, :]
             lag_in_slice = jnp.sum(jnp.where(hit, sarg, 0), axis=0)
             pos = (bslice * _SLICE + lag_in_slice) % _N
-            row = p * _NC + k
+            row = p * num_cand + k
             pos_out[row : row + 1, :] = pos[None, :]
             xb_out[row : row + 1, :] = best
             cur = jnp.where(hit, -1.0, cur)
@@ -158,11 +158,13 @@ def _boundary_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
 
 def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
                 interpret: bool | None = None,
-                fast_math: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                fast_math: bool = False,
+                num_cand: int = _NC) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
     c: (5184,) complex64 window. freqs: tuple or FreqTables. Returns
-    (pos, xb) each (F, scan_depth, 8), F unpadded.
+    (pos, xb) each (F, scan_depth, k), F unpadded (k = num_cand, the
+    cfg.candidates_per_pattern knob; reference fixes 8, common.h:34).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
     """
     if interpret is None:
@@ -216,7 +218,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     ]
     # outputs are (P*8, F) row-major inside the kernel (clean row stores;
     # Mosaic rejects per-(p,k) sublane scatter into an (F, P, 8) block)
-    rows = scan_depth * _NC
+    rows = scan_depth * num_cand
     out_specs = [
         pl.BlockSpec((rows, _F_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, _F_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -228,7 +230,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
 
     prec = (jax.lax.Precision.DEFAULT if fast_math
             else jax.lax.Precision.HIGHEST)
-    kernel = functools.partial(_scan_kernel, scan_depth, prec)
+    kernel = functools.partial(_scan_kernel, scan_depth, num_cand, prec)
     pos, xb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -243,6 +245,6 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         jnp.concatenate([bnd.real, bnd.imag], axis=1),
         B.real, B.imag, E.real, E.imag, chi.real, chi.imag,
     )
-    pos = pos.reshape(scan_depth, _NC, fp).transpose(2, 0, 1)
-    xb = xb.reshape(scan_depth, _NC, fp).transpose(2, 0, 1)
+    pos = pos.reshape(scan_depth, num_cand, fp).transpose(2, 0, 1)
+    xb = xb.reshape(scan_depth, num_cand, fp).transpose(2, 0, 1)
     return pos[:f_total], xb[:f_total]

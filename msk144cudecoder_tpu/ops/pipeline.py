@@ -108,13 +108,15 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         from . import pallas_demod, pallas_scan
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
-                                          fast_math=cfg.fast_math)
+                                          fast_math=cfg.fast_math,
+                                          num_cand=cfg.candidates_per_pattern)
         # mix-down AND pattern averaging both happen inside the demod
         # kernel; neither field ever touches HBM
         sb, nbad = pallas_demod.demod_pallas(c, freqs, pos,
                                              fast_math=cfg.fast_math)
     else:
-        pos, xb = scan.scan(c, freqs, cfg.scan_depth)  # (F, P, 8) each
+        pos, xb = scan.scan(c, freqs, cfg.scan_depth,
+                            num_cand=cfg.candidates_per_pattern)  # (F, P, k)
         sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
 
     if chan_valid is not None:
@@ -181,7 +183,7 @@ def raw_window_len(cfg: DecoderConfig) -> int:
 
 def unpack_candidate_index(cfg: DecoderConfig, flat_idx: int) -> tuple[int, int, int]:
     """Flat candidate index -> (freq_idx, pattern_idx, candidate_num)."""
-    per_f = cfg.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+    per_f = cfg.scan_depth * cfg.candidates_per_pattern
     fi, rem = divmod(int(flat_idx), per_f)
-    pi, cn = divmod(rem, C.NUM_CANDIDATES_PER_PATTERN)
+    pi, cn = divmod(rem, cfg.candidates_per_pattern)
     return fi, pi, cn

@@ -105,10 +105,13 @@ def pattern_metrics(G: jnp.ndarray, scan_depth: int) -> jnp.ndarray:
     return jnp.abs(jnp.stack(S[:scan_depth], axis=0)).astype(jnp.float32)
 
 
-def select_candidates(xb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per (pattern, freq): best lag in each 256-lag slice, then top-8 slices.
+def select_candidates(
+    xb: jnp.ndarray, num_cand: int = C.NUM_CANDIDATES_PER_PATTERN
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per (pattern, freq): best lag in each 256-lag slice, then top-k slices
+    in descending xb order (k = num_cand, reference fixes it at 8).
 
-    xb: (P, N, F) -> (pos, xb_top) each (F, P, 8) with pos in [0, N).
+    xb: (P, N, F) -> (pos, xb_top) each (F, P, k) with pos in [0, N).
     """
     P = xb.shape[0]
     F = xb.shape[2]
@@ -118,14 +121,17 @@ def select_candidates(xb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     slice_arg = sl.argmax(axis=2).astype(jnp.int32)
     sm = slice_max.transpose(2, 0, 1)  # (F, P, 21)
     sa = slice_arg.transpose(2, 0, 1)
-    top_xb, top_slice = jax.lax.top_k(sm, C.NUM_CANDIDATES_PER_PATTERN)
+    top_xb, top_slice = jax.lax.top_k(sm, num_cand)
     pos = (top_slice * C.SCAN_SLICE + jnp.take_along_axis(sa, top_slice, axis=-1)) % _N
     return pos.astype(jnp.int32), top_xb
 
 
-def scan(c: jnp.ndarray, freqs, scan_depth: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full scan of one window: returns (pos, xb), each (F, scan_depth, 8).
+def scan(
+    c: jnp.ndarray, freqs, scan_depth: int,
+    num_cand: int = C.NUM_CANDIDATES_PER_PATTERN,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full scan of one window: returns (pos, xb), each (F, scan_depth, k).
     `freqs`: static tuple or FreqTables (shardable arrays)."""
     G = sync_correlation(c, freqs)
     xb = pattern_metrics(G, scan_depth)
-    return select_candidates(xb)
+    return select_candidates(xb, num_cand)

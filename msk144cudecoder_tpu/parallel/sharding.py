@@ -97,7 +97,7 @@ class MeshDecoder:
 
     def _build(self):
         cfg = self.cfg
-        local_cand = self.local_f * cfg.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+        local_cand = self.local_f * cfg.scan_depth * cfg.candidates_per_pattern
         n_real = cfg.num_freqs  # grid channels beyond this are sharding pad
         local_f = self.local_f
 
@@ -145,7 +145,7 @@ class MeshDecoder:
 
     def unpack_candidate_index(self, flat_idx: int) -> tuple[int, int, int]:
         """Global flat candidate index -> (freq_idx, pattern_idx, cand_num)."""
-        per_f = self.cfg.scan_depth * C.NUM_CANDIDATES_PER_PATTERN
+        per_f = self.cfg.scan_depth * self.cfg.candidates_per_pattern
         fi, rem = divmod(int(flat_idx), per_f)
-        pi, cn = divmod(rem, C.NUM_CANDIDATES_PER_PATTERN)
+        pi, cn = divmod(rem, self.cfg.candidates_per_pattern)
         return fi, pi, cn

@@ -178,3 +178,44 @@ class TestPipeline:
         assert found.any()
         ok, text = msg77.unpack77(np.asarray(res.message_bits[0])[found][0])
         assert ok and text == "K1ABC W9XYZ RR73"
+
+
+class TestCandidatesPerPattern:
+    """cfg.candidates_per_pattern (k') keeps the best-sync k lags per
+    (freq, pattern): scan output must be an exact prefix of the k=8 output
+    (candidates are emitted in descending xb order) and decodes must survive
+    the cut at practical SNR."""
+
+    def test_scan_prefix_property(self):
+        rng = np.random.default_rng(3)
+        audio = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6,
+                                         snr_db=2.0, rng=rng)
+        cfg = DecoderConfig(search_width=60.0, scan_depth=3)
+        c = pipeline.preprocess(jnp.asarray(audio)[None, :], cfg)[0]
+        freqs = tuple(float(f) for f in cfg.freqs)
+        p8, x8 = scan.scan(c, freqs, 3, num_cand=8)
+        p2, x2 = scan.scan(c, freqs, 3, num_cand=2)
+        assert np.array_equal(np.asarray(p8)[:, :, :2], np.asarray(p2))
+        assert np.array_equal(np.asarray(x8)[:, :, :2], np.asarray(x2))
+
+    def test_decode_at_k2(self):
+        rng = np.random.default_rng(4)
+        audio = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6,
+                                         snr_db=2.0, rng=rng)
+        cfg = DecoderConfig(search_width=60.0, scan_depth=3, max_survivors=128,
+                            candidates_per_pattern=2)
+        res = pipeline.decode_raw(jnp.asarray(audio)[None, :], cfg)
+        found = np.asarray(res.found[0])
+        texts = set()
+        for i in np.where(found)[0]:
+            ok, text = msg77.unpack77(np.asarray(res.message_bits[0][i]))
+            if ok:
+                texts.add(text)
+        assert "CQ K1ABC FN42" in texts
+        # candidate indices must round-trip through the k'-aware unpacker
+        for i in np.where(found)[0]:
+            fi, pi, cn = pipeline.unpack_candidate_index(
+                cfg, int(res.cand_index[0][i]))
+            assert 0 <= fi < cfg.num_freqs
+            assert 0 <= pi < cfg.scan_depth
+            assert 0 <= cn < 2

@@ -27,6 +27,7 @@ def main() -> int:
     p.add_argument("--snrs", type=str, default="2,0,-2,-4,-6")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--scan-depth", type=int, default=6)
+    p.add_argument("--candidates-per-pattern", type=int, default=8)
     p.add_argument("--golden", action="store_true", help="also run the golden model")
     args = p.parse_args()
 
@@ -41,11 +42,13 @@ def main() -> int:
     from msk144cudecoder_tpu.protocol import msg77
 
     cfg = DecoderConfig(search_width=100.0, scan_depth=args.scan_depth,
-                        max_survivors=256)
+                        max_survivors=256,
+                        candidates_per_pattern=args.candidates_per_pattern)
     message = "CQ K1ABC FN42"
     snrs = [float(s) for s in args.snrs.split(",")]
 
-    print(f"message={message!r} depth={cfg.scan_depth} trials={args.trials}")
+    print(f"message={message!r} depth={cfg.scan_depth} "
+          f"k'={cfg.candidates_per_pattern} trials={args.trials}")
     print(f"{'SNR dB':>7} | {'jax decode %':>12} | {'golden decode %':>15}")
     for snr in snrs:
         jax_hits = 0
