@@ -12,11 +12,23 @@ Faithful semantics per iteration (checked before message updates, iteration 0
   zn = llr + sum_k tov ; cw = zn > 0
   parity over all 38 checks; if clean, CRC-13 gate (as a GF(2) mat-vec — the
   CRC is linear, see protocol/crc.py) and hard-error count < 18
-  bit->check:  toc[r, j] = zn[bit(r,j)] - tov[bit(r,j), k(r,j)]   (gathers)
-  check->bit:  leave-one-out product of tanh(-toc/2) along each row,
-               computed with exclusive prefix/suffix products (no division,
-               no 0/0 hazards), then tov = 2 * platanh(-prod)
+  bit->check:  toc[e] = zn[bit(e)] - tov[bit(e), slot(e)]     (edge e = 11r+j)
+  check->bit:  leave-one-out product of tanh(-toc/2) along each check row,
+               then tov = 2 * platanh(-prod)
 platanh is the reference's 5-segment piecewise-linear atanh.
+
+Layout notes (v5e): every array stays in a flat lane layout — edges as
+(K, 418) with the 11 slots of a check on consecutive lanes, bit messages as
+slot-major (K, 384) = [slot0 bits | slot1 bits | slot2 bits]. The earlier
+(K, 38, 11) / (K, 128, 3) forms padded their last axis to 128 lanes (>90%
+of every vreg idle) and serialized the leave-one-out products; here the
+leave-one-out is a masked Hillis-Steele doubling scan inside the 11-lane
+groups (4+4 steps at full lane width) and check parity is one extra one-hot
+matmul. All per-edge gathers/scatters are matmuls with constant 0/1 matrices
+(bit-exact at Precision.HIGH: the 3-way bf16 split is an exact mantissa
+decomposition and each output copies exactly one input) — TPU gathers run on
+the scalar core and dominated BP runtime (~240 ms per 2048 candidates
+measured on v5e) before this formulation.
 
 A decoded candidate's result freezes at its first success (early-exit
 equivalent); BP keeps running for the rest of the batch.
@@ -42,27 +54,25 @@ from ..protocol import ldpc_tables as T
 # HIGHEST -- same results, ~5x faster.
 _EXACT_SEL = jax.lax.Precision.HIGH
 
+_NE = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418 edges (padded to 11 per check)
+
 
 @functools.lru_cache(maxsize=None)
 def _tables() -> dict:
-    """Edge-incidence tables as one-hot selection matrices.
+    """Edge-incidence tables as one-hot selection matrices (flat layouts).
 
-    TPU gathers run on the scalar core and dominated BP runtime (~240 ms per
-    2048 candidates measured on v5e); every per-edge gather/scatter here is
-    instead a matmul with a constant 0/1 matrix, which lands on the MXU:
-
-      SEL_BIT  (128, 418)  zn -> per-edge zn            (edge e = 11r + j)
-      SEL_TOV  (384, 418)  tov flat (bit,slot) -> per-edge tov
-      SEL_TOV.T            per-edge check messages -> (bit, slot) scatter
+      SEL_BIT  (128, 418)  zn -> per-edge zn              (edge e = 11r + j)
+      SEL_TOV  (384, 418)  slot-major tov -> per-edge tov (row = 128k + b)
+      SEL_TOV.T            per-edge check messages -> slot-major scatter
+      COUNT_M  (128, 38)   bit-in-check incidence (parity row sums)
     Invalid (padded) edges select nothing (all-zero column).
     """
     NM = T.NM  # (38, 11) bit index per (check, slot), -1 pad
     MN = T.MN  # (128, 3) -> (check, slot)
     edge_valid = NM >= 0
-    NM_idx = np.where(edge_valid, NM, 0).astype(np.int32)
-    n_edges = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418
-    SEL_BIT = np.zeros((128, n_edges), dtype=np.float32)
-    SEL_TOV = np.zeros((128 * 3, n_edges), dtype=np.float32)
+    SEL_BIT = np.zeros((128, _NE), dtype=np.float32)
+    SEL_TOV = np.zeros((128 * 3, _NE), dtype=np.float32)
+    COUNT_M = np.zeros((128, T.N_CHECKS), dtype=np.float32)
     for r in range(T.N_CHECKS):
         for j in range(T.MAX_ROW_DEGREE):
             b = NM[r, j]
@@ -70,12 +80,16 @@ def _tables() -> dict:
                 continue
             e = r * T.MAX_ROW_DEGREE + j
             SEL_BIT[b, e] = 1.0
+            COUNT_M[b, r] = 1.0
             (k,) = [k for k in range(3) if MN[b, k, 0] == r and MN[b, k, 1] == j]
-            SEL_TOV[b * 3 + k, e] = 1.0
+            SEL_TOV[k * 128 + b, e] = 1.0
+    jmod = (np.arange(_NE) % T.MAX_ROW_DEGREE).astype(np.int32)
     return {
-        "edge_valid": edge_valid,
+        "edge_valid_f": edge_valid.astype(np.float32).reshape(_NE),
+        "jmod": jmod,
         "SEL_BIT": SEL_BIT,
         "SEL_TOV": SEL_TOV,
+        "COUNT_M": COUNT_M,
         "CRC_M": crc_mod.CRC_MATRIX.T.astype(np.float32),  # (77, 13)
     }
 
@@ -100,12 +114,22 @@ def platanh(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _exclusive_products(t: jnp.ndarray) -> jnp.ndarray:
-    """Leave-one-out row products along the last axis via prefix*suffix."""
-    ones = jnp.ones_like(t[..., :1])
-    pf = jnp.concatenate([ones, jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
-    rev = jnp.flip(t, axis=-1)
-    sf = jnp.flip(jnp.concatenate([ones, jnp.cumprod(rev, axis=-1)[..., :-1]], axis=-1), axis=-1)
+def _grouped_exclusive_products(t: jnp.ndarray, jmod: jnp.ndarray) -> jnp.ndarray:
+    """Leave-one-out products within consecutive 11-lane groups of (K, 418).
+
+    Masked Hillis-Steele doubling scans (group size 11 < 16 -> 4 steps each
+    way) at full lane width; the jmod masks stop combines from crossing group
+    boundaries (and the 418-lane wrap of jnp.roll).
+    """
+    pf = t
+    for s in (1, 2, 4, 8):  # inclusive prefix products
+        pf = pf * jnp.where(jmod >= s, jnp.roll(pf, s, axis=-1), 1.0)
+    sf = t
+    for s in (1, 2, 4, 8):  # inclusive suffix products
+        sf = sf * jnp.where(jmod < T.MAX_ROW_DEGREE - s,
+                            jnp.roll(sf, -s, axis=-1), 1.0)
+    pf = jnp.where(jmod >= 1, jnp.roll(pf, 1, axis=-1), 1.0)  # exclusive
+    sf = jnp.where(jmod < T.MAX_ROW_DEGREE - 1, jnp.roll(sf, -1, axis=-1), 1.0)
     return pf * sf
 
 
@@ -119,20 +143,21 @@ class BPResult(NamedTuple):
 def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_ITERATIONS) -> BPResult:
     """Batched BP decode. llr: (K, 128) float32; valid: (K,) bool mask."""
     tbl = _tables()
-    edge_valid = jnp.asarray(tbl["edge_valid"])
+    edge_valid_f = jnp.asarray(tbl["edge_valid_f"])  # (418,) {0,1}
+    jmod = jnp.asarray(tbl["jmod"])  # (418,)
     SEL_BIT = jnp.asarray(tbl["SEL_BIT"])  # (128, 418)
-    SEL_TOV = jnp.asarray(tbl["SEL_TOV"])  # (384, 418)
+    SEL_TOV = jnp.asarray(tbl["SEL_TOV"])  # (384, 418) slot-major rows
+    COUNT_M = jnp.asarray(tbl["COUNT_M"])  # (128, 38)
     CRC_M = jnp.asarray(tbl["CRC_M"])
 
     K = llr.shape[0]
-    R, J = edge_valid.shape  # 38, 11
     hard_in = llr > 0.0
 
     def check_stage(zn):
         cw = zn > 0.0
         cw_i = cw.astype(jnp.float32)
-        edges = jnp.matmul(cw_i, SEL_BIT, precision=_EXACT_SEL).reshape(K, R, J)
-        row_par = jnp.mod(edges.sum(axis=-1), 2.0)
+        row_sum = jnp.matmul(cw_i, COUNT_M, precision=_EXACT_SEL)  # (K, 38)
+        row_par = row_sum - 2.0 * jnp.floor(row_sum * 0.5)
         ncheck = row_par.sum(axis=-1)  # (K,)
         crc_bits = jnp.matmul(cw_i[:, :77], CRC_M, precision=_EXACT_SEL)
         crc_bits = crc_bits - 2.0 * jnp.floor(crc_bits * 0.5)
@@ -142,8 +167,8 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
         return cw, ok, nerr
 
     def body(it, state):
-        tov, found, cw_s, iter_s, nerr_s = state
-        zn = llr + tov.sum(axis=-1)
+        tov, found, cw_s, iter_s, nerr_s = state  # tov (K, 384) slot-major
+        zn = llr + tov[:, 0:128] + tov[:, 128:256] + tov[:, 256:384]
         cw, ok, nerr = check_stage(zn)
         newly = ok & (~found)
         cw_s = jnp.where(newly[:, None], cw.astype(jnp.int8), cw_s)
@@ -151,22 +176,21 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
         nerr_s = jnp.where(newly, nerr, nerr_s)
         found = found | newly
 
-        # bit -> check: one-hot selection matmuls (exact: each output column
-        # copies exactly one input; HIGHEST keeps f32 fidelity on the MXU)
+        # bit -> check: one-hot selection matmuls
         zn_e = jnp.matmul(zn, SEL_BIT, precision=_EXACT_SEL)  # (K, 418)
-        tov_e = jnp.matmul(tov.reshape(K, 384), SEL_TOV, precision=_EXACT_SEL)
-        toc = (zn_e - tov_e).reshape(K, R, J)
-        t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
-        loo = _exclusive_products(t)  # (K, 38, 11)
-        # check -> bit: scatter back through the transposed selector; padded
-        # edges contribute nothing (zero rows)
-        loo_e = (loo * edge_valid).reshape(K, R * J)
-        prod = jnp.matmul(loo_e, SEL_TOV.T, precision=_EXACT_SEL).reshape(K, 128, 3)
+        tov_e = jnp.matmul(tov, SEL_TOV, precision=_EXACT_SEL)  # (K, 418)
+        toc = zn_e - tov_e
+        t = jnp.where(edge_valid_f != 0.0, jnp.tanh(-0.5 * toc), 1.0)
+        loo = _grouped_exclusive_products(t, jmod)  # (K, 418)
+        # check -> bit: scatter through the transposed selector; padded edges
+        # contribute nothing (zero rows)
+        prod = jnp.matmul(loo * edge_valid_f, SEL_TOV.T,
+                          precision=_EXACT_SEL)  # (K, 384)
         tov = 2.0 * platanh(-prod)
         return tov, found, cw_s, iter_s, nerr_s
 
     init = (
-        jnp.zeros((K, 128, 3), jnp.float32),
+        jnp.zeros((K, 384), jnp.float32),
         jnp.zeros((K,), bool),
         jnp.zeros((K, 128), jnp.int8),
         jnp.zeros((K,), jnp.int32),

@@ -53,7 +53,9 @@ from .softbits import _matched_filter_mats, _sync_vec
 _N = C.WINDOW_LEN  # 5184
 _NC = C.NUM_CANDIDATES_PER_PATTERN  # 8
 _FRAME = C.FRAME_LEN  # 864
-_FG = 8  # frequencies per grid step
+_FG = 16  # frequencies per grid step (VMEM allows 16 even at
+# nc=8: chunks 2x6.3 MB + z planes ~8.6 MB; fewer grid steps =
+# less per-step launch overhead)
 
 # tile geometry: doubled window 2N = 10368 = 81 rows of 128 lanes; padded to
 # 88 rows (multiple of 8, and room for shift-dance wraparound garbage, which
@@ -169,19 +171,22 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
                   c_re, c_im, w_re, w_im, pos_ref, m_ref, m_h, m_l, masks_ref,
                   sb_out, nbad_out,
                   z_re, z_im, zs_re, zs_im, acc_ri, ch_re, ch_im, col_s):
-    # ---- mix: z = c * W for the step's 8 frequencies, in tile layout ----
+    # ---- mix: z = c * W for the step's frequencies, in tile layout ----
     cr, ci = c_re[:, :], c_im[:, :]
     wr, wi = w_re[:, :], w_im[:, :]
     z_re[:, :] = cr * wr - ci * wi
     z_im[:, :] = cr * wi + ci * wr
+    has_gap = n_pat >= 7  # gap patterns re-start the dance from pristine z;
+    # without them the shift dance can run on z in place (no zs copies)
+    d_re, d_im = (zs_re, zs_im) if has_gap else (z_re, z_im)
 
     iota48 = jax.lax.broadcasted_iota(jnp.int32, (nc * 8, _AROWS), 1)
     icol = jax.lax.broadcasted_iota(jnp.int32, (nc * 8, 1), 0) // nc
 
     def extract(p: int):
-        """One-hot matmul extraction of pattern p's 8*nc candidate chunks
-        into ch rows [p*8nc, (p+1)*8nc): row p*8nc + f*nc + k, lanes i*128+l.
-        The acc
+        """One-hot matmul extraction of pattern p's candidate chunks into
+        ch rows f*(P*nc) + p*nc + k (frequency-major, so the kernel output
+        reshapes to (F, P, nc) with no transpose), lanes i*128+l. The acc
         tiles carry re|im packed on lanes 0:128|128:256, so one matmul per
         (pattern, freq) extracts both planes. Also drops each candidate's
         raw position into col_s (the residual stage reads it back as one
@@ -191,14 +196,13 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
             return
         for f in range(_FG):
             pos8 = pos_ref[p * nc : (p + 1) * nc, f : f + 1]  # (nc, 1)
-            col_s[p * nc * _FG + f * nc : p * nc * _FG + (f + 1) * nc,
-                  0:1] = pos8
+            base = f * n_pat * nc + p * nc
+            col_s[base : base + nc, 0:1] = pos8
             q8 = pos8 // 128
             qcol = pltpu.repeat(q8, 8, 0)  # (8nc, 1): row i*nc+k -> q_k
             oh = jnp.where((qcol + icol) == iota48, 1.0, 0.0)  # (8nc, 48)
             a = acc_ri[f * _AROWS : (f + 1) * _AROWS, :]  # (48, 256) re|im
             pri = _dot_onehot(oh, a, exact3)  # (8nc, 256)
-            base = p * nc * _FG + f * nc
             for i in range(8):
                 ch_re[base : base + nc, i * 128 : (i + 1) * 128] = \
                     pri[i * nc : (i + 1) * nc, 0:128]
@@ -220,32 +224,33 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
 
     def shift_zs(rows: int, lanes: int):
         for f in range(_FG):
-            s = f * _ZROWS
-            r2, i2 = _shift_tile(zs_re[s : s + _ZROWS, :],
-                                 zs_im[s : s + _ZROWS, :], rows, lanes)
-            zs_re[s : s + _ZROWS, :] = r2
-            zs_im[s : s + _ZROWS, :] = i2
+            o = f * _ZROWS
+            r2, i2 = _shift_tile(d_re[o : o + _ZROWS, :],
+                                 d_im[o : o + _ZROWS, :], rows, lanes)
+            d_re[o : o + _ZROWS, :] = r2
+            d_im[o : o + _ZROWS, :] = i2
 
     # ---- prefix patterns 0..min(n_pat,6)-1 -----------------------------
-    zs_re[:, :] = z_re[:, :]
-    zs_im[:, :] = z_im[:, :]
+    if has_gap:
+        d_re[:, :] = z_re[:, :]
+        d_im[:, :] = z_im[:, :]
     add_rows(True, z_re, z_im)  # acc = z
     extract(0)
     for p in range(1, min(n_pat, 6)):
         if "dance" not in skip:
             shift_zs(6, 96)  # incremental +864
-            add_rows(False, zs_re, zs_im)
+            add_rows(False, d_re, d_im)
         extract(p)
     if n_pat >= 7:  # gap pattern 6: frames {0, 3}
-        zs_re[:, :] = z_re[:, :]
-        zs_im[:, :] = z_im[:, :]
+        d_re[:, :] = z_re[:, :]
+        d_im[:, :] = z_im[:, :]
         shift_zs(20, 32)  # +2592
         add_rows(True, z_re, z_im)
-        add_rows(False, zs_re, zs_im)
+        add_rows(False, d_re, d_im)
         extract(6)
         if n_pat >= 8:  # gap pattern 7: frames {0, 3, 4}
             shift_zs(6, 96)  # +3456 total
-            add_rows(False, zs_re, zs_im)
+            add_rows(False, d_re, d_im)
             extract(7)
 
     # ---- residual shift: start % 128, bit-decomposed static rolls on the
@@ -300,8 +305,8 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
     # the 128 data softbits: interleaved lanes [8:56) + [64:144)
     sb128 = jnp.concatenate([sb144[:, 8:56], sb144[:, 64:144]], axis=-1)
     sb_out[:, :] = scale * sb128
-    nbad_out[:, :] = jnp.broadcast_to(
-        nbad, (n_pat * nc * _FG, 128)).astype(jnp.int32)
+    # only lane 0 is consumed host-side; skip the 128-lane broadcast store
+    nbad_out[:, 0:1] = nbad.astype(jnp.int32)
 
 
 def _tile_window(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -430,8 +435,8 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # z re
             pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # z im
-            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs re
-            pltpu.VMEM((_FG * _ZROWS, 128), jnp.float32),  # zs im
+            pltpu.VMEM((_FG * _ZROWS if Pn >= 7 else 8, 128), jnp.float32),  # zs re
+            pltpu.VMEM((_FG * _ZROWS if Pn >= 7 else 8, 128), jnp.float32),  # zs im
             pltpu.VMEM((_FG * _AROWS, 256), jnp.float32),  # acc re|im packed
             pltpu.VMEM((Pn * nc * _FG, _CHUNK), jnp.float32),  # chunks re
             pltpu.VMEM((Pn * nc * _FG, _CHUNK), jnp.float32),  # chunks im
@@ -443,9 +448,7 @@ def demod_pallas(c: jnp.ndarray, freqs, pos: jnp.ndarray,
     )(c_re, c_im, w_re, w_im, pos_rows, M, np.asarray(mh), np.asarray(ml),
       masks)
 
-    # rows: (step, pattern, f_in_group, k) -> (F, P, 8)
-    sb = sb.reshape(nstep, Pn, _FG, nc, 128).transpose(0, 2, 1, 3, 4)
+    # rows are frequency-major (step, f_in_group, pattern, k): plain reshape
     sb = sb.reshape(Fp, Pn, nc, 128)[:F]
-    nbad = nbad128[:, 0].reshape(nstep, Pn, _FG, nc).transpose(0, 2, 1, 3)
-    nbad = nbad.reshape(Fp, Pn, nc)[:F]
+    nbad = nbad128[:, 0].reshape(Fp, Pn, nc)[:F]
     return sb, nbad

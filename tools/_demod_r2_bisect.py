@@ -10,14 +10,17 @@ from msk144cudecoder_tpu import constants as C
 from msk144cudecoder_tpu.config import DecoderConfig
 from msk144cudecoder_tpu.ops import pipeline, pallas_scan, pallas_demod
 
+import os
+K = int(os.environ.get("BISECT_K", "8"))
 cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
-                    nbadsync_threshold=3, max_survivors=512)
+                    nbadsync_threshold=3, max_survivors=512,
+                    candidates_per_pattern=K)
 freqs = tuple(float(f) for f in cfg.freqs)
 rng = np.random.default_rng(0)
 b = 16
 raw = jax.device_put(rng.normal(0, 1000, (b, C.WINDOW_LEN)).astype(np.int16))
 c = jax.jit(lambda r: pipeline.preprocess(r, cfg))(raw)
-pos, _ = jax.jit(jax.vmap(lambda w: pallas_scan.scan_pallas(w, freqs, cfg.scan_depth)))(c)
+pos, _ = jax.jit(jax.vmap(lambda w: pallas_scan.scan_pallas(w, freqs, cfg.scan_depth, num_cand=K)))(c)
 jax.block_until_ready((c, pos))
 
 def fetch(x): return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
