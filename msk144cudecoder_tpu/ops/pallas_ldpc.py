@@ -1,0 +1,229 @@
+"""Fused Pallas TPU kernel for the batched LDPC(128,90) BP decode.
+
+The jnp BP (ops/ldpc.py) is algorithmically right for TPU — one-hot-matmul
+edge selection, 128-bit codewords on lanes, candidates on sublanes — but XLA
+materializes every (K, 418)/(K, 384) intermediate to HBM between the ~8 ops
+of each of the 10 iterations (~100 MB of HBM traffic per window at K=512).
+This kernel runs the whole loop in VMEM: HBM sees only the (K, 128) LLR
+input and three small outputs.
+
+Same math as ops/ldpc.py (reference: /root/reference/src/ldpc_kernel.cuh:
+100-248 — zn/cw/parity/CRC gate per iteration, platanh check->bit updates,
+per-candidate result freezing as the early-exit analog):
+
+  - one-hot selection matmuls run as explicit 3x-bf16 splits (exact: the
+    split is a 3x8-bit mantissa decomposition and each output column copies
+    exactly one f32 input), matching Precision.HIGH in the jnp path;
+  - parity row sums and the CRC GF(2) mat-vec run as single-pass bf16 dots,
+    which are EXACT here: both operands are 0/1 (exactly representable) and
+    row sums are <= 90 (exact in the f32 accumulator);
+  - leave-one-out check products use the same masked Hillis-Steele doubling
+    scans, on a 512-lane padded edge axis (pltpu.roll; the jmod masks keep
+    group boundaries and padding inert, and padded SEL columns are zero so
+    garbage in lanes >= 418 never propagates).
+
+Edge tables ride in VMEM as bf16 one-hot matrices (halved footprint, no
+per-iteration split needed on the constant side).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from ..protocol import ldpc_tables as T
+from .ldpc import BPResult, _tables, platanh
+
+_NE = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418
+_EPAD = 512  # edge axis padded to full lane tiles
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_tables() -> dict:
+    """ops/ldpc tables padded to lane-tile shapes, one-hots as bf16."""
+    t = _tables()
+    sel_bit = np.zeros((128, _EPAD), np.float32)
+    sel_bit[:, :_NE] = t["SEL_BIT"]
+    sel_tov = np.zeros((384, _EPAD), np.float32)
+    sel_tov[:, :_NE] = t["SEL_TOV"]
+    sel_tovt = np.zeros((_EPAD, 384), np.float32)
+    sel_tovt[:_NE, :] = t["SEL_TOV"].T
+    count_m = np.zeros((128, 128), np.float32)
+    count_m[:, : T.N_CHECKS] = t["COUNT_M"]
+    crc_m = np.zeros((128, 128), np.float32)
+    crc_m[:77, :13] = t["CRC_M"]
+    # lane masks packed as one (8, 512) f32 operand:
+    # row 0: edge_valid; row 1: jmod as float; row 2 lanes<38: ones (check
+    # mask); row 3 lanes [77,90): ones (CRC-bit positions)
+    masks = np.zeros((8, _EPAD), np.float32)
+    masks[0, :_NE] = t["edge_valid_f"]
+    masks[1, :_NE] = t["jmod"].astype(np.float32)
+    masks[1, _NE:] = 0.0  # padded lanes: jmod 0 => all combine masks reject
+    masks[2, : T.N_CHECKS] = 1.0
+    masks[3, 77:90] = 1.0
+    return {
+        "SEL_BIT": sel_bit.astype(jnp.bfloat16),
+        "SEL_TOV": sel_tov.astype(jnp.bfloat16),
+        "SEL_TOVT": sel_tovt.astype(jnp.bfloat16),
+        "COUNT_M": count_m.astype(jnp.bfloat16),
+        "CRC_M": crc_m.astype(jnp.bfloat16),
+        "MASKS": masks,
+    }
+
+
+def _split3(x):
+    h = x.astype(jnp.bfloat16)
+    r1 = x - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _dot_bf16(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _sel_dot(x, sel_bf16):
+    """x (f32 data) @ one-hot selection matrix, bit-exact via 3x bf16 (each
+    output copies exactly one f32 input, reconstructed exactly from the
+    3x8-bit mantissa split). Used in interpreter mode too: exact is exact."""
+    xh, xm, xl = _split3(x)
+    return _dot_bf16(xh, sel_bf16) + _dot_bf16(xm, sel_bf16) + _dot_bf16(
+        xl, sel_bf16)
+
+
+def _bp_kernel(max_iters: int,
+               llr_ref, valid_ref,
+               sel_bit, sel_tov, sel_tovt, count_m, crc_m, masks_ref,
+               cw_out, meta_out,
+               tov_ref, state_ref):
+    llr = llr_ref[:, :]
+    k = llr.shape[0]
+    valid = valid_ref[:, 0:1] != 0  # (K, 1)
+    sel_bit = sel_bit[:, :]
+    sel_tov = sel_tov[:, :]
+    sel_tovt = sel_tovt[:, :]
+    count_m = count_m[:, :]
+    crc_m = crc_m[:, :]
+    edge_valid = masks_ref[0:1, :] != 0.0
+    jmod = masks_ref[1:2, :]
+    check_mask = masks_ref[2:3, 0:128]
+    crc_mask = masks_ref[3:4, 0:128]
+    hard_in = llr > 0.0
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (k, 128), 1)
+    in77 = lane128 < 77
+
+    # state lanes: 0 = found, 1 = iterations, 2 = hard errors
+    state_ref[:, :] = jnp.zeros((k, 128), jnp.float32)
+    cw_out[:, :] = jnp.zeros((k, 128), jnp.float32)
+    tov_ref[:, :] = jnp.zeros((k, 384), jnp.float32)
+
+    def body(it, _):
+        tov = tov_ref[:, :]
+        zn = (llr + tov[:, 0:128] + tov[:, 128:256] + tov[:, 256:384])
+        cw = (zn > 0.0).astype(jnp.float32)  # (K, 128) 0/1
+
+        # parity + CRC gates (single-pass bf16: 0/1 operands, exact)
+        cw16 = cw.astype(jnp.bfloat16)
+        row_sum = _dot_bf16(cw16, count_m)  # (K, 128), lanes<38 live
+        row_par = row_sum - 2.0 * jnp.floor(row_sum * 0.5)
+        ncheck = jnp.sum(row_par * check_mask, axis=-1, keepdims=True)
+        crc_bits = _dot_bf16(jnp.where(in77, cw, 0.0).astype(jnp.bfloat16),
+                             crc_m)  # (K, 128), lanes<13 live
+        crc_bits = crc_bits - 2.0 * jnp.floor(crc_bits * 0.5)
+        # cw's CRC field (lanes 77:90) rolled onto lanes 0:13 for comparison
+        cw_crc = pltpu.roll(cw * crc_mask, 128 - 77, 1)
+        crc_diff = jnp.sum(jnp.abs(crc_bits - cw_crc[:, 0:128])
+                           * (lane128 < 13), axis=-1, keepdims=True)
+        nerr = jnp.sum(jnp.abs(cw - hard_in.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        ok = ((ncheck == 0.0) & (crc_diff == 0.0)
+              & (nerr < float(C.MAX_HARD_ERRORS)) & valid)  # (K, 1)
+
+        st = state_ref[:, :]
+        found = st[:, 0:1] != 0.0
+        newly = ok & (~found)  # (K, 1)
+        cw_out[:, :] = jnp.where(newly, cw, cw_out[:, :])
+        lane = lane128
+        upd = jnp.where(lane == 0, 1.0,
+                        jnp.where(lane == 1, it.astype(jnp.float32),
+                                  jnp.where(lane == 2, nerr, st)))
+        state_ref[:, :] = jnp.where(newly, upd, st)
+
+        # bit -> check
+        zn_e = _sel_dot(zn, sel_bit)  # (K, 512)
+        tov_e = _sel_dot(tov, sel_tov)  # (K, 512)
+        toc = zn_e - tov_e
+        t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
+
+        # leave-one-out products in 11-lane groups (masked doubling scans)
+        pf = t
+        for s in (1, 2, 4, 8):
+            pf = pf * jnp.where(jmod >= s, pltpu.roll(pf, s, 1), 1.0)
+        sf = t
+        for s in (1, 2, 4, 8):
+            sf = sf * jnp.where(jmod < T.MAX_ROW_DEGREE - s,
+                                pltpu.roll(sf, _EPAD - s, 1), 1.0)
+        pf = jnp.where(jmod >= 1, pltpu.roll(pf, 1, 1), 1.0)
+        sf = jnp.where(jmod < T.MAX_ROW_DEGREE - 1,
+                       pltpu.roll(sf, _EPAD - 1, 1), 1.0)
+        loo = pf * sf
+
+        # check -> bit scatter (padded edges have zero rows in SEL_TOVT)
+        prod = _sel_dot(jnp.where(edge_valid, loo, 0.0), sel_tovt)
+        tov_ref[:, :] = 2.0 * platanh(-prod)
+        return 0
+
+    jax.lax.fori_loop(0, max_iters, body, 0)
+    meta_out[:, :] = state_ref[:, :]
+
+
+def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
+                     max_iters: int = C.NUM_BP_ITERATIONS,
+                     interpret: bool | None = None) -> BPResult:
+    """Drop-in replacement for ops.ldpc.bp_decode via one fused kernel.
+
+    llr: (K, 128) float32; valid: (K,) bool. K must be a multiple of 8
+    (cfg.max_survivors always is). interpret=None: auto (interpreter off
+    TPU, compiled on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tbl = _kernel_tables()
+    k = llr.shape[0]
+    valid_col = jnp.broadcast_to(
+        valid.astype(jnp.int32)[:, None], (k, 128))
+
+    kernel = functools.partial(_bp_kernel, max_iters)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cw, meta = pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * 8,
+        out_specs=[vspec, vspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, 384), jnp.float32),  # tov
+            pltpu.VMEM((k, 128), jnp.float32),  # found/iter/nerr state
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_TOV"], tbl["SEL_TOVT"],
+      tbl["COUNT_M"], tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
+
+    return BPResult(
+        found=meta[:, 0] != 0.0,
+        codeword=cw.astype(jnp.int8),
+        iterations=meta[:, 1].astype(jnp.int32),
+        hard_errors=meta[:, 2].astype(jnp.int32),
+    )

@@ -70,6 +70,58 @@ class TestPallasDemod:
         np.testing.assert_allclose(np.asarray(sbv[0]), np.asarray(sb1), rtol=1e-5, atol=1e-5)
 
 
+class TestPallasLDPC:
+    def _llr_batch(self, k=24, n_good=10, seed=5):
+        from msk144cudecoder_tpu.protocol import crc as crc_mod
+        from msk144cudecoder_tpu.protocol import ldpc_tables as T
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for _ in range(n_good):
+            msg = rng.integers(0, 2, 77)
+            cw = T.encode(np.concatenate([msg, (crc_mod.CRC_MATRIX @ msg) % 2]))
+            rows.append((2.0 * cw - 1.0) * 4.0 + rng.normal(0, 1.0, 128))
+        for _ in range(k - n_good):
+            rows.append(rng.normal(0, 2.0, 128))
+        return jnp.asarray(np.stack(rows), jnp.float32)
+
+    def test_matches_jnp_bp_exactly(self):
+        """The one-hot selection matmuls are exact under both schemes (3x-bf16
+        split vs CPU f32), so interpreter output is bit-identical to ldpc.py."""
+        from msk144cudecoder_tpu.ops import ldpc, pallas_ldpc
+
+        llr = self._llr_batch()
+        valid = jnp.asarray(np.ones(llr.shape[0], bool))
+        r0 = ldpc.bp_decode(llr, valid)
+        r1 = pallas_ldpc.bp_decode_pallas(llr, valid, interpret=True)
+        np.testing.assert_array_equal(np.asarray(r0.found), np.asarray(r1.found))
+        assert np.asarray(r1.found).sum() >= 10
+        np.testing.assert_array_equal(np.asarray(r0.codeword), np.asarray(r1.codeword))
+        np.testing.assert_array_equal(np.asarray(r0.iterations), np.asarray(r1.iterations))
+        np.testing.assert_array_equal(np.asarray(r0.hard_errors), np.asarray(r1.hard_errors))
+
+    def test_validity_mask_blocks_decode(self):
+        from msk144cudecoder_tpu.ops import pallas_ldpc
+
+        llr = self._llr_batch(k=8, n_good=8, seed=7)
+        valid = jnp.asarray(np.array([True, False] * 4))
+        r = pallas_ldpc.bp_decode_pallas(llr, valid, interpret=True)
+        found = np.asarray(r.found)
+        assert found[0::2].all() and not found[1::2].any()
+
+    def test_vmap_batching(self):
+        from msk144cudecoder_tpu.ops import ldpc, pallas_ldpc
+
+        llr = self._llr_batch(k=16, n_good=6, seed=11)
+        valid = jnp.asarray(np.ones(16, bool))
+        r1 = pallas_ldpc.bp_decode_pallas(llr, valid, interpret=True)
+        rv = jax.vmap(lambda l: pallas_ldpc.bp_decode_pallas(l, valid, interpret=True))(
+            jnp.stack([llr, llr]))
+        np.testing.assert_array_equal(np.asarray(rv.found[0]), np.asarray(rv.found[1]))
+        np.testing.assert_array_equal(np.asarray(rv.found[0]), np.asarray(r1.found))
+        np.testing.assert_array_equal(np.asarray(rv.codeword[0]), np.asarray(r1.codeword))
+
+
 class TestPallasPipeline:
     def test_end_to_end_decode_matches(self):
         """use_pallas=True must find the same messages as the jnp path."""

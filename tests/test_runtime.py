@@ -267,6 +267,37 @@ class TestSurvivorSelection:
         expected = order[:k]
         np.testing.assert_array_equal(top, expected)
 
+    def test_topk_selection_matches_exact_sort_for_survivors(self):
+        """The fast exponent-packed top_k path (used for threshold <= 4) must
+        produce the same survivor set AND order as the exact two-key sort,
+        including 1-ulp xb differences inside one nbadsync class. Rows above
+        the threshold are diagnostics-only (never decoded, never printed) and
+        may order differently."""
+        import jax.numpy as jnp
+        from msk144cudecoder_tpu.ops import pipeline as pl_mod
+
+        rng = np.random.default_rng(11)
+        n, k, thr = 4096, 256, 3
+        nbad = rng.integers(0, 8, n).astype(np.int32)
+        xb = (rng.random(n).astype(np.float32) * 100.0).astype(np.float32)
+        base = np.float32(37.25)
+        ulp = np.spacing(base).astype(np.float32)
+        for i in range(0, 400, 2):
+            nbad[i] = nbad[i + 1] = rng.integers(0, thr + 1)
+            xb[i] = base + ulp * (i // 2)
+            xb[i + 1] = base + ulp * (i // 2) + ulp / 2
+        xb = xb.astype(np.float32)
+        # force truncation pressure inside the valid classes
+        assert (nbad <= thr).sum() > k
+
+        t0 = np.asarray(pl_mod.select_survivors(
+            jnp.asarray(nbad), jnp.asarray(xb), k))
+        t1 = np.asarray(pl_mod.select_survivors_topk(
+            jnp.asarray(nbad), jnp.asarray(xb), k, thr))
+        v0 = [(int(nbad[i]), float(xb[i]), int(i)) for i in t0 if nbad[i] <= thr]
+        v1 = [(int(nbad[i]), float(xb[i]), int(i)) for i in t1 if nbad[i] <= thr]
+        assert v0 == v1
+
     def test_overflow_warning_fires(self, capsys):
         """num_survivors > max_survivors must produce a stderr warning
         (no silent truncation, VERDICT weak #3)."""
