@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "pattern), 1..8 (default 8 = reference behavior; "
                         "lower k cuts demod work proportionally, keeping the "
                         "best-sync lags)")
+    p.add_argument("--survivor-prefilter", type=int, default=None,
+                   help="demodulate only the top-P candidates by scan sync "
+                        "correlation (default: auto = 2x max-survivors on "
+                        "TPU, off elsewhere; 0 = off, demodulate every "
+                        "candidate like the reference)")
     p.add_argument("--window-batch", type=int, default=1,
                    help="windows decoded per device call")
     p.add_argument("--platform", type=str, default=None,
@@ -67,6 +72,7 @@ def config_from_args(args: argparse.Namespace) -> DecoderConfig:
         nbadsync_threshold=args.nbadsync_threshold,
         max_survivors=args.max_survivors,
         candidates_per_pattern=args.candidates_per_pattern,
+        survivor_prefilter=args.survivor_prefilter,
         window_batch=args.window_batch,
     )
     if args.center_frequency is not None:

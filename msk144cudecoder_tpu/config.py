@@ -47,6 +47,17 @@ class DecoderConfig:
     # trades diagnostics-row parity (chance noise survivors at xb rank > k
     # are not tracked) for a proportional cut of the demod kernel's
     # per-candidate extraction/shift/matched-filter work.
+    survivor_prefilter: int | None = None  # demodulate only the top-P
+    # candidates by scan xb (the |sync correlation| the demod itself would
+    # re-derive as its carrier magnitude), instead of all F*depth*8. The
+    # reference demodulates everything because each CUDA block is cheap to
+    # launch; on TPU the per-candidate extraction dominates, and every
+    # realistically decodable candidate sits far up the xb order (decodes
+    # require a strong sync correlation by construction). None = auto: 2x
+    # max_survivors on the Pallas (TPU) path, off elsewhere. 0 = off (full
+    # demod, exact reference candidate-set semantics). When active,
+    # num_survivors counts threshold-passing candidates within the
+    # prefiltered set (a lower bound on the true count).
     fast_math: bool = False  # default MXU precision (bf16 passes) in the
     # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
     # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).

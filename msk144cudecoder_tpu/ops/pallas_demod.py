@@ -275,6 +275,18 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
         A = _dot_mf(chr_[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
         Bm = _dot_mf(chi_[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
 
+    sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
+    sb_out[:, :] = sb_scaled
+    # only lane 0 is consumed host-side; skip the 128-lane broadcast store
+    nbad_out[:, 0:1] = nbad.astype(jnp.int32)
+
+
+def mf_tail(A, Bm, masks_ref):
+    """Shared post-matched-filter math (rows = candidates): carrier-phase
+    derotation, softbit normalization, nbadsync. A/Bm are the (R, 256)
+    matched-filter outputs of the chunk re/im planes; masks_ref rows are the
+    _lane_masks() tuple. Returns (scaled 128 data softbits (R, 128),
+    nbadsync column (R, 1) f32). Mirrors softbits_kernel.cuh:129-248."""
     s_re = A[:, 144:145] - Bm[:, 145:146]  # (R, 1); sv holds conj template
     s_im = Bm[:, 144:145] + A[:, 145:146]
     mag = jnp.sqrt(s_re * s_re + s_im * s_im)
@@ -304,9 +316,7 @@ def _demod_kernel(n_pat: int, nc: int, mf_mode: str, exact3: bool,
 
     # the 128 data softbits: interleaved lanes [8:56) + [64:144)
     sb128 = jnp.concatenate([sb144[:, 8:56], sb144[:, 64:144]], axis=-1)
-    sb_out[:, :] = scale * sb128
-    # only lane 0 is consumed host-side; skip the 128-lane broadcast store
-    nbad_out[:, 0:1] = nbad.astype(jnp.int32)
+    return scale * sb128, nbad
 
 
 def _tile_window(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,315 @@
+"""Survivor-only softbit demodulation: full demod for a prefiltered
+candidate subset, with mixing and pattern averaging folded into per-survivor
+scalars.
+
+The full demod kernel (ops/pallas_demod.py) demodulates every scan candidate
+(deep scan: 24,048) because the reference does
+(/root/reference/src/softbits_kernel.cuh:9-248 runs one block per candidate).
+But only ~max_survivors of them ever reach the LDPC stage, and the scan's xb
+metric (|sync correlation|, the exact statistic the demod re-derives as its
+carrier-phase magnitude) already orders candidates: a prefilter keeping the
+top P candidates by xb preserves every realistically decodable candidate
+while cutting demod work by >10x (see ops/pipeline.py:select wiring and the
+sensitivity results in ARCHITECTURE.md).
+
+Per survivor s with position pos, frequency f and averaging pattern p, the
+averaged frame the reference demodulates is
+
+  frame[l] = sum_m mask_p[m] * c[(pos + 864 m + l) mod N] * W_f[(pos + 864 m + l) mod N]
+
+Using W_f[t] = exp(-2j pi f t / fs) and splitting (pos + 864m + l) mod N =
+pos + 864m + l - k N  (k in {0,1,2}), the W factor separates exactly:
+
+  W_f[(pos+864m+l) mod N] = W_f[pos] * W_f[864m] * W_f[l] * phi_f^k,
+  phi_f = exp(+2j pi f N / fs) = conj(1 + chi_f)    (chi from ops/tables.py)
+
+so   frame[l] = W_f[l] * sum_m gamma[s,m,k(l)] * c_ext[pos + 864m + l],
+     gamma[s,m,k] = mask_p[m] * W[f, pos] * W[f, 864m] * phi_f^k
+
+with c_ext the analytic window cyclically extended (no mod in the kernel)
+and k(l) a per-(s,m) pair of lane thresholds. Every gamma factor is an exact
+host-table value (W is mod-reduced in float64, tables.py:44-46); the only
+deviation from table-mixing is the float32 product itself (~1e-7 relative).
+
+Kernel shape per grid step (SB survivors):
+  1. chunk extraction — the 8 aligned 128-lane segments of all 6 frame
+     chunks of SB survivors are ONE one-hot (48*SB, 96) x (96, 256) MXU
+     matmul against the re|im-packed extended window (same row-select +
+     residual-roll scheme as pallas_demod.py, validated on v5e).
+  2. gamma-mix + pattern sum — per-chunk complex scalar multiply (lane
+     thresholds pick the wrap power), then 6 block adds.
+  3. carrier — W[f, 0:1024] row via a one-hot (SB, Fpad) matmul (exact 3x
+     bf16), complex multiply.
+  4. matched filter + tail — identical code path to pallas_demod.py
+     (_dot_mf + mf_tail).
+
+Unlike the full kernel there is no per-(freq, pattern) shift dance: the
+pattern sum collapses into gamma, so gap patterns cost nothing special.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from .pallas_demod import (_dot_mf, _dot_onehot, _lane_masks, _mf_matrix,
+                           mf_tail)
+from .tables import FreqTables, cached_freq_tables
+
+_N = C.WINDOW_LEN  # 5184
+_M = C.PATTERN_LEN  # 6 frame slots per pattern mask
+_CHUNK = 1024
+_MFK = 896
+# extended window: [c, c, c[:1024]] covers every chunk index
+# pos + 864m + l <= (N-1) + 864*5 + 1023 = 10526 < 2N + 1024 = 11392
+_EXT_LEN = 2 * _N + _CHUNK
+_CROWS = 96  # 11392 / 128 = 89 rows, padded to a sublane multiple of 8
+
+
+def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
+    """(N,) complex -> (96, 256) f32 tiles, re on lanes 0:128, im 128:256."""
+    ext = jnp.concatenate([c, c, c[:_CHUNK]])
+    ext = jnp.concatenate(
+        [ext, jnp.zeros((_CROWS * 128 - _EXT_LEN,), ext.dtype)])
+    tile = ext.reshape(_CROWS, 128)
+    return jnp.concatenate(
+        [tile.real.astype(jnp.float32), tile.imag.astype(jnp.float32)],
+        axis=1)
+
+
+def survivor_params(pos_s, f_idx, p_idx, W, chi):
+    """Per-survivor kernel operands, all from exact table values.
+
+    pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
+    chi: (F,) complex64 wrap correction (tables.py). Returns
+    (ints (S, 6, 4) int32 [q, r, t1, t2], gam (S, 6, 6) f32
+    [gre0 gre1 gre2 gim0 gim1 gim2]).
+    """
+    S = pos_s.shape[0]
+    m = jnp.arange(_M, dtype=jnp.int32)
+    start = pos_s[:, None] + 864 * m[None, :]  # (S, 6)
+    q = start // 128
+    r = start % 128
+    t1 = jnp.clip(_N - start, 0, _CHUNK)
+    t2 = jnp.clip(2 * _N - start, 0, _CHUNK)
+    ints = jnp.stack([q, r, t1, t2], axis=-1).astype(jnp.int32)
+
+    masks = jnp.asarray(C.PATTERN_MASKS.astype(np.float32))[p_idx]  # (S, 6)
+    w_pos = W[f_idx, pos_s]  # (S,) exact table gather
+    t864 = W[:, :: C.FRAME_LEN][:, :_M][f_idx]  # (S, 6) = W[f, 864m], 864*5 < N
+    phi = jnp.conj(1.0 + chi)[f_idx]  # (S,) exp(+2j pi f N / fs)
+    g0 = masks.astype(w_pos.dtype) * w_pos[:, None] * t864  # (S, 6)
+    g1 = g0 * phi[:, None]
+    g2 = g1 * phi[:, None]
+    gam = jnp.stack(
+        [g0.real, g1.real, g2.real, g0.imag, g1.imag, g2.imag],
+        axis=-1).astype(jnp.float32)  # (S, 6, 6)
+    return ints, gam
+
+
+def _survivor_kernel(sb_blk: int, mf_mode: str, exact3: bool,
+                     c_ri, wf_re, wf_im, ints_ref, fidx_ref, gam_ref,
+                     m_ref, m_h, m_l, masks_ref,
+                     sb_out, nbad_out,
+                     ch_re, ch_im):
+    rows = _M * sb_blk  # chunk rows, m-major: row = m*SB + s
+
+    # ---- 1. chunk extraction: one one-hot matmul, 8 segment copies -------
+    qcol = ints_ref[:, 0:1]  # (rows, 1)
+    qrep = pltpu.repeat(qcol, 8, 0)  # (8*rows, 1): row i*rows + j -> q_j
+    icol = jax.lax.broadcasted_iota(jnp.int32, (8 * rows, 1), 0) // rows
+    lane96 = jax.lax.broadcasted_iota(jnp.int32, (8 * rows, _CROWS), 1)
+    oh = jnp.where((qrep + icol) == lane96, 1.0, 0.0)
+    pri = _dot_onehot(oh, c_ri[:, :], exact3)  # (8*rows, 256) re|im
+    for i in range(8):
+        seg = pri[i * rows : (i + 1) * rows, :]
+        ch_re[:, i * 128 : (i + 1) * 128] = seg[:, 0:128]
+        ch_im[:, i * 128 : (i + 1) * 128] = seg[:, 128:256]
+
+    # ---- residual shift: start % 128, bit-decomposed static lane rolls ---
+    rcol = ints_ref[:, 1:2]
+    chr_ = ch_re[:, :]
+    chi_ = ch_im[:, :]
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        take = (rcol & bit) != 0
+        chr_ = jnp.where(take, pltpu.roll(chr_, _CHUNK - bit, 1), chr_)
+        chi_ = jnp.where(take, pltpu.roll(chi_, _CHUNK - bit, 1), chi_)
+
+    # ---- 2. gamma-mix (wrap power by lane threshold) + pattern sum -------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK), 1)
+    t1 = ints_ref[:, 2:3]
+    t2 = ints_ref[:, 3:4]
+
+    def pick(k0, k1, k2):
+        a = jnp.where(lane < t1, gam_ref[:, k0 : k0 + 1], gam_ref[:, k1 : k1 + 1])
+        return jnp.where(lane < t2, a, gam_ref[:, k2 : k2 + 1])
+
+    gre = pick(0, 1, 2)
+    gim = pick(3, 4, 5)
+    zr = chr_ * gre - chi_ * gim  # (rows, 1024)
+    zi = chr_ * gim + chi_ * gre
+    ar = zr[0:sb_blk, :]
+    ai = zi[0:sb_blk, :]
+    for m in range(1, _M):
+        ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
+        ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
+
+    # ---- 3. carrier W[f, 0:1024] via one-hot row select -------------------
+    fcol = fidx_ref[:, 0:1]  # (SB, 1)
+    fpad = wf_re.shape[0]
+    lanef = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, fpad), 1)
+    ohf = jnp.where(fcol == lanef, 1.0, 0.0)
+    w_re = _dot_onehot(ohf, wf_re[:, :], exact3)  # (SB, 1024)
+    w_im = _dot_onehot(ohf, wf_im[:, :], exact3)
+    fr = ar * w_re - ai * w_im
+    fi = ar * w_im + ai * w_re
+
+    # ---- 4. matched filter + shared tail ----------------------------------
+    A = _dot_mf(fr[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
+    Bm = _dot_mf(fi[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
+    sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
+    sb_out[:, :] = sb_scaled
+    nbad_out[:, 0:1] = nbad.astype(jnp.int32)
+
+
+def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
+                    f_idx: jnp.ndarray, p_idx: jnp.ndarray,
+                    interpret: bool | None = None,
+                    fast_math: bool = False,
+                    sb_blk: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Demodulate S prefiltered candidates of one window (vmap-batchable).
+
+    c: (N,) complex64 analytic window. freqs: static tuple or FreqTables.
+    pos_s/f_idx/p_idx: (S,) int32, S a multiple of sb_blk.
+    Returns (softbits (S, 128) f32, nbadsync (S,) int32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if isinstance(freqs, FreqTables):
+        W = freqs.W
+        chi = freqs.chi[0]
+    else:
+        t = cached_freq_tables(tuple(float(f) for f in freqs))
+        W = jnp.asarray(t.W)
+        chi = jnp.asarray(t.chi[0])
+    F = W.shape[0]
+    S = pos_s.shape[0]
+    assert S % sb_blk == 0, (S, sb_blk)
+    nstep = S // sb_blk
+
+    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi)
+
+    # m-major row layout per step: row = (step*6 + m)*SB + s_local
+    def rows_mmajor(a):  # (S, 6, cols) -> (nstep*6*SB, cols)
+        cols = a.shape[-1]
+        r = a.reshape(nstep, sb_blk, _M, cols).transpose(0, 2, 1, 3)
+        return r.reshape(nstep * _M * sb_blk, cols)
+
+    def pad128(a):
+        return jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (128 - a.shape[-1],), a.dtype)],
+            axis=-1)
+
+    ints_rows = pad128(rows_mmajor(ints))
+    gam_rows = pad128(rows_mmajor(gam))
+    fidx_rows = pad128(f_idx.astype(jnp.int32)[:, None])
+
+    fpad = -F % 128
+    wf = W[:, :_CHUNK]
+    if fpad:
+        wf = jnp.concatenate(
+            [wf, jnp.zeros((fpad, _CHUNK), wf.dtype)], axis=0)
+    wf_re = wf.real.astype(jnp.float32)
+    wf_im = wf.imag.astype(jnp.float32)
+
+    c_ri = _ext_window(c)
+
+    M = _mf_matrix()
+    mh = M.astype(np.float32).astype(jnp.bfloat16)
+    ml = (M - np.asarray(mh, np.float32)).astype(jnp.bfloat16)
+    even, in144, ssign = _lane_masks()
+    masks = np.concatenate([even, in144, ssign], axis=0)
+    masks = np.concatenate([masks, np.zeros((5, 256), np.float32)], axis=0)
+
+    mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
+    exact3 = not interpret
+    kernel = functools.partial(_survivor_kernel, sb_blk, mf_mode, exact3)
+    const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    rows = _M * sb_blk
+    sb, nbad128 = pl.pallas_call(
+        kernel,
+        grid=(nstep,),
+        in_specs=[
+            const(_CROWS, 256),  # c re|im tiles
+            const(F + fpad, _CHUNK),  # W[:, :1024] re
+            const(F + fpad, _CHUNK),  # W[:, :1024] im
+            pl.BlockSpec((rows, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # ints
+            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # f_idx
+            pl.BlockSpec((rows, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # gamma
+            const(_MFK, 256),  # matched filter f32
+            const(_MFK, 256),  # matched filter bf16 high
+            const(_MFK, 256),  # matched filter bf16 low
+            const(8, 256),  # lane masks
+        ],
+        out_specs=[
+            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, _CHUNK), jnp.float32),  # chunks re
+            pltpu.VMEM((rows, _CHUNK), jnp.float32),  # chunks im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(c_ri, wf_re, wf_im, ints_rows, fidx_rows, gam_rows,
+      M, np.asarray(mh), np.asarray(ml), masks)
+    return sb, nbad128[:, 0]
+
+
+def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx):
+    """Pure-jnp reference of the gamma-factorized survivor demod (same math
+    as the kernel up to float association; used for parity tests and as the
+    non-Pallas fallback when a prefilter is configured off-TPU)."""
+    if isinstance(freqs, FreqTables):
+        W = freqs.W
+        chi = freqs.chi[0]
+    else:
+        t = cached_freq_tables(tuple(float(f) for f in freqs))
+        W = jnp.asarray(t.W)
+        chi = jnp.asarray(t.chi[0])
+
+    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi)
+    ext = jnp.concatenate([c, c, c[:_CHUNK]])
+    start = ints[..., 0] * 128 + ints[..., 1]  # (S, 6)
+    idx = start[..., None] + jnp.arange(_CHUNK)[None, None, :]
+    ch = ext[idx]  # (S, 6, 1024) complex
+    lane = jnp.arange(_CHUNK)[None, None, :]
+    k = ((lane >= ints[..., 2:3]).astype(jnp.int32)
+         + (lane >= ints[..., 3:4]).astype(jnp.int32))  # (S, 6, 1024)
+    gre = jnp.take_along_axis(gam[..., 0:3], k[..., :], axis=-1)
+    gim = jnp.take_along_axis(gam[..., 3:6], k[..., :], axis=-1)
+    g = jax.lax.complex(gre, gim)
+    frame = jnp.sum(ch * g, axis=1)  # (S, 1024)
+    frame = frame * W[f_idx, :_CHUNK]
+    frame = frame[:, : C.FRAME_LEN]
+
+    from .softbits import demod
+
+    return demod(frame)

@@ -82,6 +82,24 @@ def select_survivors(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int) -> jnp.ndar
     return sorted_idx[:k]
 
 
+_PREFILTER_BLK = 128  # survivor-demod kernel block (pallas_survivor.sb_blk)
+
+
+def resolve_prefilter(cfg: DecoderConfig, nc: int, use_pallas: bool) -> int:
+    """Effective xb-prefilter size: 0 = full demod. Auto (None) enables it
+    on the Pallas path at 2x max_survivors (measured on v5e: 1.02 ms/win vs
+    1.37 at 4x and 1.85 full — tools/_surv_probe.py); any explicit value is
+    rounded up to the kernel block and disabled when it would not shrink the
+    work."""
+    p = cfg.survivor_prefilter
+    if p is None:
+        p = 2 * cfg.max_survivors if use_pallas else 0
+    if p <= 0:
+        return 0
+    p = -(-p // _PREFILTER_BLK) * _PREFILTER_BLK
+    return 0 if p >= nc else p
+
+
 # select_survivors_topk exactness domain: xb clamped into [2^-4, 2^20).
 _XB_LO = 2.0 ** -4
 _XB_HI = float(np.float32(2.0 ** 20) * (1.0 - 2.0 ** -24))
@@ -139,35 +157,68 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         # scalar-core gather lowering); pure-jnp elsewhere
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        # Fused TPU kernels: scan never materializes the (P, N, F) metric
-        # field; demod extracts frames with vector rolls instead of gathers.
-        from . import pallas_demod, pallas_scan
+        # Fused TPU kernel: scan never materializes the (P, N, F) metric
+        # field.
+        from . import pallas_scan
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
                                           fast_math=cfg.fast_math,
                                           num_cand=cfg.candidates_per_pattern)
-        # mix-down AND pattern averaging both happen inside the demod
-        # kernel; neither field ever touches HBM
-        sb, nbad = pallas_demod.demod_pallas(c, freqs, pos,
-                                             fast_math=cfg.fast_math)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth,
                             num_cand=cfg.candidates_per_pattern)  # (F, P, k)
-        sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
-
-    if chan_valid is not None:
-        # masked channels: nbadsync above any threshold, xb zeroed — they can
-        # neither become survivors nor outrank real diagnostics rows
-        nbad = jnp.where(chan_valid[:, None, None], nbad, 17)
-        xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
 
     nc = pos.shape[0] * pos.shape[1] * pos.shape[2]
-    k = min(cfg.max_survivors, nc)
-    xb_f = xb.reshape(nc)
-    nbad_f = nbad.reshape(nc)
-    pos_f = pos.reshape(nc)
-    sb_f = sb.reshape(nc, 128)
+    pre = resolve_prefilter(cfg, nc, use_pallas)
 
+    if pre:
+        # xb-prefilter: demodulate only the top `pre` candidates by scan xb
+        # (see ops/pallas_survivor.py). Masked channels rank last and get
+        # nbadsync 17 after demod, as on the full path.
+        from . import pallas_survivor
+
+        xb_m = xb if chan_valid is None else jnp.where(
+            chan_valid[:, None, None], xb, 0.0)
+        xb_sel, pre_idx = jax.lax.top_k(xb_m.reshape(nc), pre)
+        per_f = pos.shape[1] * pos.shape[2]
+        f_idx = pre_idx // per_f
+        p_idx = (pre_idx % per_f) // pos.shape[2]
+        pos_f = pos.reshape(nc)[pre_idx]
+        if use_pallas:
+            sb_f, nbad_f = pallas_survivor.demod_survivors(
+                c, freqs, pos_f, f_idx, p_idx, fast_math=cfg.fast_math)
+        else:
+            sb_f, nbad_f = pallas_survivor.demod_survivors_ref(
+                c, freqs, pos_f, f_idx, p_idx)
+        if chan_valid is not None:
+            nbad_f = jnp.where(chan_valid[f_idx], nbad_f, 17)
+        xb_f = xb_sel
+        idx_map = pre_idx  # local survivor index -> flat candidate index
+        nc_sel = pre
+    else:
+        if use_pallas:
+            # mix-down AND pattern averaging both happen inside the demod
+            # kernel; neither field ever touches HBM
+            from . import pallas_demod
+
+            sb, nbad = pallas_demod.demod_pallas(c, freqs, pos,
+                                                 fast_math=cfg.fast_math)
+        else:
+            sb, nbad = softbits.demod_candidates(c, freqs, cfg.scan_depth, pos)
+
+        if chan_valid is not None:
+            # masked channels: nbadsync above any threshold, xb zeroed — they
+            # can neither become survivors nor outrank real diagnostics rows
+            nbad = jnp.where(chan_valid[:, None, None], nbad, 17)
+            xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
+        xb_f = xb.reshape(nc)
+        nbad_f = nbad.reshape(nc)
+        pos_f = pos.reshape(nc)
+        sb_f = sb.reshape(nc, 128)
+        idx_map = None
+        nc_sel = nc
+
+    k = min(cfg.max_survivors, nc_sel)
     if cfg.nbadsync_threshold <= TOPK_MAX_THRESHOLD:
         top_idx = select_survivors_topk(nbad_f, xb_f, k, cfg.nbadsync_threshold)
     else:
@@ -194,8 +245,9 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         ((~bp.found).astype(jnp.int32), jnp.arange(k, dtype=jnp.int32)),
         num_keys=2)
     sel = sel[:r]
+    cand_flat = idx_map[top_idx] if idx_map is not None else top_idx
     return WindowDecodeResult(
-        cand_index=top_idx[sel],
+        cand_index=cand_flat[sel],
         valid=valid[sel],
         found=bp.found[sel],
         message_bits=bp.codeword[sel, :77],
