@@ -20,6 +20,19 @@ Layout per grid step (frequency tile of 128 lanes):
   out   pos/xb (Ft, P, 8)
 Patterns 0..5 are prefix sums of per-frame terms; gap patterns 6..7 are
 recomputed from their three terms (msk_context.cuh:231-240).
+
+Hot-loop structure (chosen by measured VPU pass count on v5e):
+  G = E * r  is the true cyclic correlation field — exactly N-periodic, so
+  every subsequent cyclic roll of it needs NO wrap correction. The two sync
+  offsets of each averaged frame collapse into one roll via
+     q = G + roll(G, -336)
+     T_m = roll(q, -864m)        (rolls compose cyclically)
+  so each pattern term costs a single uncorrected roll per plane. The metric
+  is kept SQUARED through slice-max/top-8 (monotone); one sqrt on the
+  (P*8, Ft) output block. A scalar-coefficient variant that factors E out of
+  the rolls entirely was measured slower (0.243 -> 0.218 -> this: the
+  per-element wrap-boundary selects cost more VPU passes than the one-time
+  E multiply).
 """
 
 from __future__ import annotations
@@ -53,7 +66,7 @@ def _scan_kernel(scan_depth: int, num_cand: int, prec,
                  pos_out, xb_out):
     ft = b_re.shape[1]
 
-    # --- G = E * (conj(cmat) @ B + wrap correction) ---------------------
+    # --- r = conj(cmat) @ B + wrap correction ---------------------------
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=prec)
@@ -77,24 +90,30 @@ def _scan_kernel(scan_depth: int, num_cand: int, prec,
     r_re = jnp.concatenate([r_re[:tail, :], r_re[tail:, :] + corr_re], axis=0)
     r_im = jnp.concatenate([r_im[:tail, :], r_im[tail:, :] + corr_im], axis=0)
 
+    # --- G = E * r: exactly N-periodic, rolls below need no correction --
     er, ei = e_re[:], e_im[:]
     g_re = er * r_re - ei * r_im
     g_im = er * r_im + ei * r_re
 
-    # --- per-pattern metrics + candidate selection ----------------------
+    def rolled(x_re, x_im, a: int):
+        """y[l] = x[(l + a) mod N]."""
+        s = (-a) % _N
+        return pltpu.roll(x_re, s, 0), pltpu.roll(x_im, s, 0)
+
+    # q: both sync offsets of frame 0 combined; T_m = roll(q, -864m)
+    q3_re, q3_im = rolled(g_re, g_im, C.SECOND_SYNC_SAMPLE)
+    q_re = g_re + q3_re
+    q_im = g_im + q3_im
+
     def term(m: int):
-        """T_m = roll(G, -864m) + roll(G, -(864m+336)) along the lag axis."""
-        s1 = (-864 * m) % _N
-        s2 = (-(864 * m + C.SECOND_SYNC_SAMPLE)) % _N
-        tre = pltpu.roll(g_re, s1, 0) + pltpu.roll(g_re, s2, 0)
-        tim = pltpu.roll(g_im, s1, 0) + pltpu.roll(g_im, s2, 0)
-        return tre, tim
+        return rolled(q_re, q_im, 864 * m)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SLICES, ft), 0)
 
     def select(s_re, s_im, p: int):
-        """Slice-max + top-8 for pattern p; writes pos/xb output rows."""
-        xb = jnp.sqrt(s_re * s_re + s_im * s_im)  # (N, Ft)
+        """Slice-max + top-8 for pattern p; writes pos/xb output rows.
+        Metric is |s|^2 (sqrt deferred to the output block — monotone)."""
+        xb = s_re * s_re + s_im * s_im  # (N, Ft)
         # pad lag axis to 21*256 by wrapping the head (scan_kernel.cuh:85-89);
         # per-slice max via 21 static row slices (Mosaic cannot reshape
         # (5376, ft) -> (21, 256, ft))
@@ -123,23 +142,27 @@ def _scan_kernel(scan_depth: int, num_cand: int, prec,
             xb_out[row : row + 1, :] = best
             cur = jnp.where(hit, -1.0, cur)
 
-    # prefix patterns 0..min(depth,6)-1
-    acc_re, acc_im = term(0)
+    # prefix patterns 0..min(depth,6)-1; T_0 = q itself
+    acc_re, acc_im = q_re, q_im
     select(acc_re, acc_im, 0)
+    t3 = t4 = None
     for p in range(1, min(scan_depth, 6)):
         tre, tim = term(p)
+        if p == 3 and scan_depth >= 7:
+            t3 = (tre, tim)
+        if p == 4 and scan_depth >= 8:
+            t4 = (tre, tim)
         acc_re = acc_re + tre
         acc_im = acc_im + tim
         select(acc_re, acc_im, p)
     # gap patterns: 6 = frames {0,3}, 7 = frames {0,3,4}
     if scan_depth >= 7:
-        t0 = term(0)
-        t3 = term(3)
-        s_re, s_im = t0[0] + t3[0], t0[1] + t3[1]
+        s_re, s_im = q_re + t3[0], q_im + t3[1]
         select(s_re, s_im, 6)
         if scan_depth >= 8:
-            t4 = term(4)
             select(s_re + t4[0], s_im + t4[1], 7)
+    # metric was |s|^2 throughout; one sqrt on the small output block
+    xb_out[:, :] = jnp.sqrt(xb_out[:, :])
 
 
 def _lag_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
