@@ -18,17 +18,21 @@ Faithful semantics per iteration (checked before message updates, iteration 0
 platanh is the reference's 5-segment piecewise-linear atanh.
 
 Layout notes (v5e): every array stays in a flat lane layout — edges as
-(K, 418) with the 11 slots of a check on consecutive lanes, bit messages as
-slot-major (K, 384) = [slot0 bits | slot1 bits | slot2 bits]. The earlier
+(K, 418) with the 11 slots of a check on consecutive lanes. The earlier
 (K, 38, 11) / (K, 128, 3) forms padded their last axis to 128 lanes (>90%
 of every vreg idle) and serialized the leave-one-out products; here the
 leave-one-out is a masked Hillis-Steele doubling scan inside the 11-lane
 groups (4+4 steps at full lane width) and check parity is one extra one-hot
-matmul. All per-edge gathers/scatters are matmuls with constant 0/1 matrices
-(bit-exact at Precision.HIGH: the 3-way bf16 split is an exact mantissa
-decomposition and each output copies exactly one input) — TPU gathers run on
-the scalar core and dominated BP runtime (~240 ms per 2048 candidates
-measured on v5e) before this formulation.
+matmul. Check->bit messages (tov) live NATIVELY in edge layout: the
+check->bit scatter and the per-edge tov re-select of an earlier slot-major
+form both disappear (toc = zn_e - tov_e is elementwise), leaving two
+selection matmuls per iteration — zn -> edges, and three slot-separated
+edge -> bit copies whose f32 adds keep the original slot summation order
+(so results are bit-identical to the slot-major form). All selections are
+matmuls with constant 0/1 matrices (bit-exact at Precision.HIGH: the 3-way
+bf16 split is an exact mantissa decomposition and each output copies exactly
+one input) — TPU gathers run on the scalar core and dominated BP runtime
+(~240 ms per 2048 candidates measured on v5e) before this formulation.
 
 A decoded candidate's result freezes at its first success (early-exit
 equivalent); BP keeps running for the rest of the batch.
@@ -61,17 +65,17 @@ _NE = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418 edges (padded to 11 per check)
 def _tables() -> dict:
     """Edge-incidence tables as one-hot selection matrices (flat layouts).
 
-      SEL_BIT  (128, 418)  zn -> per-edge zn              (edge e = 11r + j)
-      SEL_TOV  (384, 418)  slot-major tov -> per-edge tov (row = 128k + b)
-      SEL_TOV.T            per-edge check messages -> slot-major scatter
-      COUNT_M  (128, 38)   bit-in-check incidence (parity row sums)
+      SEL_BIT   (128, 418)    zn -> per-edge zn            (edge e = 11r + j)
+      SEL_SLOT  (3, 418, 128) slot-k edge -> its bit (pure one-hot copies;
+                              summing the three keeps the original slot order)
+      COUNT_M   (128, 38)     bit-in-check incidence (parity row sums)
     Invalid (padded) edges select nothing (all-zero column).
     """
     NM = T.NM  # (38, 11) bit index per (check, slot), -1 pad
     MN = T.MN  # (128, 3) -> (check, slot)
     edge_valid = NM >= 0
     SEL_BIT = np.zeros((128, _NE), dtype=np.float32)
-    SEL_TOV = np.zeros((128 * 3, _NE), dtype=np.float32)
+    SEL_SLOT = np.zeros((3, _NE, 128), dtype=np.float32)
     COUNT_M = np.zeros((128, T.N_CHECKS), dtype=np.float32)
     for r in range(T.N_CHECKS):
         for j in range(T.MAX_ROW_DEGREE):
@@ -82,13 +86,13 @@ def _tables() -> dict:
             SEL_BIT[b, e] = 1.0
             COUNT_M[b, r] = 1.0
             (k,) = [k for k in range(3) if MN[b, k, 0] == r and MN[b, k, 1] == j]
-            SEL_TOV[k * 128 + b, e] = 1.0
+            SEL_SLOT[k, e, b] = 1.0
     jmod = (np.arange(_NE) % T.MAX_ROW_DEGREE).astype(np.int32)
     return {
         "edge_valid_f": edge_valid.astype(np.float32).reshape(_NE),
         "jmod": jmod,
         "SEL_BIT": SEL_BIT,
-        "SEL_TOV": SEL_TOV,
+        "SEL_SLOT": SEL_SLOT,
         "COUNT_M": COUNT_M,
         "CRC_M": crc_mod.CRC_MATRIX.T.astype(np.float32),  # (77, 13)
     }
@@ -146,7 +150,7 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
     edge_valid_f = jnp.asarray(tbl["edge_valid_f"])  # (418,) {0,1}
     jmod = jnp.asarray(tbl["jmod"])  # (418,)
     SEL_BIT = jnp.asarray(tbl["SEL_BIT"])  # (128, 418)
-    SEL_TOV = jnp.asarray(tbl["SEL_TOV"])  # (384, 418) slot-major rows
+    SEL_SLOT = jnp.asarray(tbl["SEL_SLOT"])  # (3, 418, 128)
     COUNT_M = jnp.asarray(tbl["COUNT_M"])  # (128, 38)
     CRC_M = jnp.asarray(tbl["CRC_M"])
 
@@ -167,8 +171,13 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
         return cw, ok, nerr
 
     def body(it, state):
-        tov, found, cw_s, iter_s, nerr_s = state  # tov (K, 384) slot-major
-        zn = llr + tov[:, 0:128] + tov[:, 128:256] + tov[:, 256:384]
+        tov_e, found, cw_s, iter_s, nerr_s = state  # tov_e (K, 418) edges
+        # per-bit sum of the 3 incident check messages: slot-separated
+        # one-hot copies added in slot order (bit-identical to a slot-major
+        # layout; a single summing matmul would re-associate the f32 adds)
+        zn = llr
+        for k in range(3):
+            zn = zn + jnp.matmul(tov_e, SEL_SLOT[k], precision=_EXACT_SEL)
         cw, ok, nerr = check_stage(zn)
         newly = ok & (~found)
         cw_s = jnp.where(newly[:, None], cw.astype(jnp.int8), cw_s)
@@ -176,21 +185,17 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
         nerr_s = jnp.where(newly, nerr, nerr_s)
         found = found | newly
 
-        # bit -> check: one-hot selection matmuls
+        # bit -> check: one-hot selection matmul; tov is already per-edge
         zn_e = jnp.matmul(zn, SEL_BIT, precision=_EXACT_SEL)  # (K, 418)
-        tov_e = jnp.matmul(tov, SEL_TOV, precision=_EXACT_SEL)  # (K, 418)
         toc = zn_e - tov_e
         t = jnp.where(edge_valid_f != 0.0, jnp.tanh(-0.5 * toc), 1.0)
         loo = _grouped_exclusive_products(t, jmod)  # (K, 418)
-        # check -> bit: scatter through the transposed selector; padded edges
-        # contribute nothing (zero rows)
-        prod = jnp.matmul(loo * edge_valid_f, SEL_TOV.T,
-                          precision=_EXACT_SEL)  # (K, 384)
-        tov = 2.0 * platanh(-prod)
-        return tov, found, cw_s, iter_s, nerr_s
+        # check -> bit messages stay in edge layout (padded edges zeroed)
+        tov_e = jnp.where(edge_valid_f != 0.0, 2.0 * platanh(-loo), 0.0)
+        return tov_e, found, cw_s, iter_s, nerr_s
 
     init = (
-        jnp.zeros((K, 384), jnp.float32),
+        jnp.zeros((K, _NE), jnp.float32),
         jnp.zeros((K,), bool),
         jnp.zeros((K, 128), jnp.int8),
         jnp.zeros((K,), jnp.int32),

@@ -50,10 +50,8 @@ def _kernel_tables() -> dict:
     t = _tables()
     sel_bit = np.zeros((128, _EPAD), np.float32)
     sel_bit[:, :_NE] = t["SEL_BIT"]
-    sel_tov = np.zeros((384, _EPAD), np.float32)
-    sel_tov[:, :_NE] = t["SEL_TOV"]
-    sel_tovt = np.zeros((_EPAD, 384), np.float32)
-    sel_tovt[:_NE, :] = t["SEL_TOV"].T
+    sel_slot = np.zeros((3, _EPAD, 128), np.float32)
+    sel_slot[:, :_NE, :] = t["SEL_SLOT"]
     count_m = np.zeros((128, 128), np.float32)
     count_m[:, : T.N_CHECKS] = t["COUNT_M"]
     crc_m = np.zeros((128, 128), np.float32)
@@ -69,8 +67,9 @@ def _kernel_tables() -> dict:
     masks[3, 77:90] = 1.0
     return {
         "SEL_BIT": sel_bit.astype(jnp.bfloat16),
-        "SEL_TOV": sel_tov.astype(jnp.bfloat16),
-        "SEL_TOVT": sel_tovt.astype(jnp.bfloat16),
+        "SEL_SLOT0": sel_slot[0].astype(jnp.bfloat16),
+        "SEL_SLOT1": sel_slot[1].astype(jnp.bfloat16),
+        "SEL_SLOT2": sel_slot[2].astype(jnp.bfloat16),
         "COUNT_M": count_m.astype(jnp.bfloat16),
         "CRC_M": crc_m.astype(jnp.bfloat16),
         "MASKS": masks,
@@ -100,15 +99,14 @@ def _sel_dot(x, sel_bf16):
 
 def _bp_kernel(max_iters: int,
                llr_ref, valid_ref,
-               sel_bit, sel_tov, sel_tovt, count_m, crc_m, masks_ref,
+               sel_bit, sel_s0, sel_s1, sel_s2, count_m, crc_m, masks_ref,
                cw_out, meta_out,
                tov_ref, state_ref):
     llr = llr_ref[:, :]
     k = llr.shape[0]
     valid = valid_ref[:, 0:1] != 0  # (K, 1)
     sel_bit = sel_bit[:, :]
-    sel_tov = sel_tov[:, :]
-    sel_tovt = sel_tovt[:, :]
+    sel_slots = (sel_s0[:, :], sel_s1[:, :], sel_s2[:, :])
     count_m = count_m[:, :]
     crc_m = crc_m[:, :]
     edge_valid = masks_ref[0:1, :] != 0.0
@@ -123,11 +121,15 @@ def _bp_kernel(max_iters: int,
     # state lanes: 0 = found, 1 = iterations, 2 = hard errors
     state_ref[:, :] = jnp.zeros((k, 128), jnp.float32)
     cw_out[:, :] = jnp.zeros((k, 128), jnp.float32)
-    tov_ref[:, :] = jnp.zeros((k, 384), jnp.float32)
+    tov_ref[:, :] = jnp.zeros((k, _EPAD), jnp.float32)
 
     def body(it, _):
-        tov = tov_ref[:, :]
-        zn = (llr + tov[:, 0:128] + tov[:, 128:256] + tov[:, 256:384])
+        tov_e = tov_ref[:, :]  # (K, 512) edge layout
+        # slot-separated one-hot copies, added in slot order (bit-identical
+        # to the slot-major form; see ops/ldpc.py)
+        zn = llr
+        for sel_k in sel_slots:
+            zn = zn + _sel_dot(tov_e, sel_k)
         cw = (zn > 0.0).astype(jnp.float32)  # (K, 128) 0/1
 
         # parity + CRC gates (single-pass bf16: 0/1 operands, exact)
@@ -157,9 +159,8 @@ def _bp_kernel(max_iters: int,
                                   jnp.where(lane == 2, nerr, st)))
         state_ref[:, :] = jnp.where(newly, upd, st)
 
-        # bit -> check
+        # bit -> check; tov is already per-edge
         zn_e = _sel_dot(zn, sel_bit)  # (K, 512)
-        tov_e = _sel_dot(tov, sel_tov)  # (K, 512)
         toc = zn_e - tov_e
         t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
 
@@ -176,9 +177,8 @@ def _bp_kernel(max_iters: int,
                        pltpu.roll(sf, _EPAD - 1, 1), 1.0)
         loo = pf * sf
 
-        # check -> bit scatter (padded edges have zero rows in SEL_TOVT)
-        prod = _sel_dot(jnp.where(edge_valid, loo, 0.0), sel_tovt)
-        tov_ref[:, :] = 2.0 * platanh(-prod)
+        # check -> bit messages stay in edge layout (padded lanes zeroed)
+        tov_ref[:, :] = jnp.where(edge_valid, 2.0 * platanh(-loo), 0.0)
         return 0
 
     jax.lax.fori_loop(0, max_iters, body, 0)
@@ -205,21 +205,22 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     cw, meta = pl.pallas_call(
         kernel,
-        in_specs=[vspec] * 8,
+        in_specs=[vspec] * 9,
         out_specs=[vspec, vspec],
         out_shape=[
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, 384), jnp.float32),  # tov
+            pltpu.VMEM((k, _EPAD), jnp.float32),  # tov (edge layout)
             pltpu.VMEM((k, 128), jnp.float32),  # found/iter/nerr state
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_TOV"], tbl["SEL_TOVT"],
-      tbl["COUNT_M"], tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
+    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SLOT0"], tbl["SEL_SLOT1"],
+      tbl["SEL_SLOT2"], tbl["COUNT_M"], tbl["CRC_M"],
+      jnp.asarray(tbl["MASKS"]))
 
     return BPResult(
         found=meta[:, 0] != 0.0,
