@@ -58,6 +58,13 @@ class DecoderConfig:
     # demod, exact reference candidate-set semantics). When active,
     # num_survivors counts threshold-passing candidates within the
     # prefiltered set (a lower bound on the true count).
+    prefilter_per_cell: int = 2  # cap on prefiltered candidates per (freq,
+    # pattern) cell. One transmission occupies one sync lag per cell, so
+    # same-cell slots beyond the best are noise duplicates; capping shrinks
+    # the prefilter's global top_k from F*depth*8 to F*depth*per_cell
+    # candidates (deep scan: 24,048 -> 6,012). >= 2 keeps two overlapping
+    # same-frequency transmissions alive; 8 (= all slots) disables the cap.
+    # Ignored when the prefilter is off.
     fast_math: bool = False  # default MXU precision (bf16 passes) in the
     # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
     # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).
@@ -78,6 +85,10 @@ class DecoderConfig:
             raise ValueError(
                 f"candidates_per_pattern must be in [1, {C.NUM_CANDIDATES_PER_PATTERN}],"
                 f" got {self.candidates_per_pattern}")
+        if not 1 <= self.prefilter_per_cell <= C.NUM_CANDIDATES_PER_PATTERN:
+            raise ValueError(
+                f"prefilter_per_cell must be in [1, {C.NUM_CANDIDATES_PER_PATTERN}],"
+                f" got {self.prefilter_per_cell}")
 
     @classmethod
     def create(cls, **kwargs) -> "DecoderConfig":

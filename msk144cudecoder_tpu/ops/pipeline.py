@@ -100,6 +100,71 @@ def resolve_prefilter(cfg: DecoderConfig, nc: int, use_pallas: bool) -> int:
     return 0 if p >= nc else p
 
 
+def take_rows_exact(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather data[idx] as a one-hot matmul — exact (each output row is
+    a pure copy reconstructed from the 3x-bf16 mantissa split at
+    Precision.HIGH) and MXU-resident, unlike XLA's scalar-core TPU gather
+    lowering (measured ~250x slower for the BP tables; same story here)."""
+    n = data.shape[0]
+    oh = (idx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (idx.shape[0], n), 1)).astype(jnp.float32)
+    return jnp.matmul(oh, data, precision=jax.lax.Precision.HIGH)
+
+
+def prefilter_select(xb: jnp.ndarray, pos: jnp.ndarray, pre: int,
+                     per_cell: int,
+                     chan_valid: jnp.ndarray | None):
+    """Top candidates by scan xb: at most `per_cell` per (freq, pattern)
+    cell, then a per-PATTERN top-k quota summing to `pre`. Returns
+    (xb_sel, pos_sel, f_idx, p_idx, flat_idx), each (pre,).
+
+    The reference demodulates every candidate and filters by nbadsync only
+    (/root/reference/src/index_kernel.cuh:22-75); the xb prefilter is this
+    repo's static-shape stand-in. Two structural rules keep it faithful:
+
+      - per-cell cap: one transmission occupies ONE sync lag per (freq,
+        pattern) cell, so same-cell slots beyond the best are noise
+        duplicates; >= 2 keeps two overlapping same-frequency transmissions
+        alive.
+      - per-pattern quotas: xb grows with coherent averaging, so a single
+        global top-`pre` floods with high-num_avg candidates and can starve
+        the pattern-0/1 candidates the reference would decode (it prints the
+        LOWEST num_avg per message, result_filter.cpp:59-72). A quota of
+        ~pre/P per pattern makes each pattern's candidates compete only
+        against same-gain noise.
+
+    Both rules also make the selection cheap: P top_ks over F*per_cell
+    candidates instead of one over F*P*8 (deep scan: 6 x 1,002 vs 24,048).
+    """
+    F, P, S = xb.shape
+    if chan_valid is not None:
+        xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
+    cells = F * P
+    xb2, loc2 = jax.lax.top_k(xb.reshape(cells, S), per_cell)
+    pos2 = jnp.take_along_axis(pos.reshape(cells, S), loc2, axis=1)
+    # pack (flat candidate index, pos) into one int32 carrier so the
+    # post-top_k load is a single small gather: flat < 24048, pos < 8192
+    flat2 = jnp.arange(cells, dtype=jnp.int32)[:, None] * S + loc2
+    meta2 = flat2 * 8192 + pos2
+    # pattern-major views: row p holds all F*per_cell candidates of pattern p
+    xb_p = xb2.reshape(F, P, per_cell).transpose(1, 0, 2).reshape(P, -1)
+    meta_p = meta2.reshape(F, P, per_cell).transpose(1, 0, 2).reshape(P, -1)
+    quota = split_quota(pre, P)
+    xb_parts, sel_parts = [], []
+    for p in range(P):
+        xv, si = jax.lax.top_k(xb_p[p], quota[p])
+        xb_parts.append(xv)
+        sel_parts.append(si + p * xb_p.shape[1])
+    xb_sel = jnp.concatenate(xb_parts)
+    meta_sel = meta_p.reshape(-1)[jnp.concatenate(sel_parts)]
+    flat_idx = meta_sel // 8192
+    pos_sel = meta_sel - flat_idx * 8192
+    per_f = P * S
+    f_idx = flat_idx // per_f
+    p_idx = flat_idx % per_f // S
+    return xb_sel, pos_sel, f_idx, p_idx, flat_idx
+
+
 # select_survivors_topk exactness domain: xb clamped into [2^-4, 2^20).
 _XB_LO = 2.0 ** -4
 _XB_HI = float(np.float32(2.0 ** 20) * (1.0 - 2.0 ** -24))
@@ -109,7 +174,8 @@ TOPK_MAX_THRESHOLD = 4
 
 
 def select_survivors_topk(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int,
-                          threshold: int) -> jnp.ndarray:
+                          threshold: int,
+                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fast exact survivor selection via one f32 top_k (~9x cheaper than the
     full 24k-candidate sort on v5e).
 
@@ -132,8 +198,45 @@ def select_survivors_topk(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int,
     mul = jax.lax.bitcast_convert_type(
         ((127 - 24 * cls) << 23).astype(jnp.int32), jnp.float32)
     key = jnp.clip(xb_f, _XB_LO, _XB_HI) * mul
+    if mask is not None:
+        key = jnp.where(mask, key, 0.0)  # real keys are > 0: masked rank last
     _, idx = jax.lax.top_k(key, k)
     return idx
+
+
+def select_survivors_quota(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int,
+                           threshold: int, quotas: list[tuple[int, object]]
+                           ) -> jnp.ndarray:
+    """Survivor selection with a per-pattern slot quota (summing to k).
+
+    The reference BP-decodes EVERY under-threshold survivor
+    (/root/reference/src/index_kernel.cuh:22-75) and the host prints the
+    lowest-num_avg decode per message (result_filter.cpp:59-72). With a
+    static K, a single (nbadsync, xb) ranking starves low-averaging patterns
+    whenever survivors overflow K — xb grows with coherent averaging, so the
+    nbadsync=0 class orders high-num_avg first and a strong signal's
+    pattern-0 candidates (the ones the reference would print) fall off the
+    batch. A per-pattern quota makes candidates compete only against
+    same-gain rivals; within each pattern the ordering is the exact
+    (nbadsync, xb) key.
+
+    quotas: list of (quota, segment) where segment is either a slice
+    (pattern-major contiguous run) or a boolean mask over the flat axis.
+    """
+    parts = []
+    for q, seg in quotas:
+        if isinstance(seg, slice):
+            idx = select_survivors_topk(nbad_f[seg], xb_f[seg], q, threshold)
+            parts.append(idx + seg.start)
+        else:
+            parts.append(select_survivors_topk(nbad_f, xb_f, q, threshold,
+                                               mask=seg))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def split_quota(total: int, parts: int) -> list[int]:
+    return [total // parts + (1 if p < total % parts else 0)
+            for p in range(parts)]
 
 
 def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
@@ -177,13 +280,25 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         # nbadsync 17 after demod, as on the full path.
         from . import pallas_survivor
 
-        xb_m = xb if chan_valid is None else jnp.where(
-            chan_valid[:, None, None], xb, 0.0)
-        xb_sel, pre_idx = jax.lax.top_k(xb_m.reshape(nc), pre)
-        per_f = pos.shape[1] * pos.shape[2]
-        f_idx = pre_idx // per_f
-        p_idx = (pre_idx % per_f) // pos.shape[2]
-        pos_f = pos.reshape(nc)[pre_idx]
+        # per-cell cap only when it actually shrinks the global top_k and
+        # still leaves >= pre candidates to choose from
+        cells = pos.shape[0] * pos.shape[1]
+        per_cell = cfg.prefilter_per_cell
+        while per_cell < pos.shape[2] and cells * per_cell < pre:
+            per_cell += 1
+        if per_cell < pos.shape[2]:
+            xb_f, pos_f, f_idx, p_idx, pre_idx = prefilter_select(
+                xb, pos, pre, per_cell, chan_valid)
+            pattern_major = True  # per-pattern quota runs, contiguous
+        else:
+            xb_m = xb if chan_valid is None else jnp.where(
+                chan_valid[:, None, None], xb, 0.0)
+            xb_f, pre_idx = jax.lax.top_k(xb_m.reshape(nc), pre)
+            per_f = pos.shape[1] * pos.shape[2]
+            f_idx = pre_idx // per_f
+            p_idx = (pre_idx % per_f) // pos.shape[2]
+            pos_f = pos.reshape(nc)[pre_idx]
+            pattern_major = False
         if use_pallas:
             sb_f, nbad_f = pallas_survivor.demod_survivors(
                 c, freqs, pos_f, f_idx, p_idx, fast_math=cfg.fast_math)
@@ -192,7 +307,6 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
                 c, freqs, pos_f, f_idx, p_idx)
         if chan_valid is not None:
             nbad_f = jnp.where(chan_valid[f_idx], nbad_f, 17)
-        xb_f = xb_sel
         idx_map = pre_idx  # local survivor index -> flat candidate index
         nc_sel = pre
     else:
@@ -217,21 +331,57 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         sb_f = sb.reshape(nc, 128)
         idx_map = None
         nc_sel = nc
+        pattern_major = False
+        per_f = pos.shape[1] * pos.shape[2]
+        p_idx = jnp.arange(nc, dtype=jnp.int32) % per_f // pos.shape[2]
 
     k = min(cfg.max_survivors, nc_sel)
+    P = pos.shape[1]
     if cfg.nbadsync_threshold <= TOPK_MAX_THRESHOLD:
-        top_idx = select_survivors_topk(nbad_f, xb_f, k, cfg.nbadsync_threshold)
+        if k >= P > 1:
+            # per-pattern slot quotas (see select_survivors_quota)
+            if pattern_major:
+                seg_sizes = split_quota(nc_sel, P)
+                offs = np.cumsum([0] + seg_sizes)
+                segs = [slice(int(offs[p]), int(offs[p + 1]))
+                        for p in range(P)]
+            else:
+                segs = [p_idx == p for p in range(P)]
+            top_idx = select_survivors_quota(
+                nbad_f, xb_f, k, cfg.nbadsync_threshold,
+                list(zip(split_quota(k, P), segs)))
+        else:
+            top_idx = select_survivors_topk(nbad_f, xb_f, k,
+                                            cfg.nbadsync_threshold)
     else:
         top_idx = select_survivors(nbad_f, xb_f, k)
-    nbad_k = nbad_f[top_idx]
+    cand_all = idx_map if idx_map is not None else jnp.arange(
+        nc_sel, dtype=jnp.int32)
+    if use_pallas:
+        # single one-hot matmul selects softbits + all metadata columns
+        # (exact copies; XLA's TPU gather lowering runs on the scalar core)
+        meta = jnp.stack([nbad_f.astype(jnp.float32), xb_f,
+                          pos_f.astype(jnp.float32),
+                          cand_all.astype(jnp.float32)], axis=1)
+        rows = take_rows_exact(jnp.concatenate([sb_f, meta], axis=1), top_idx)
+        llr = rows[:, :128]
+        nbad_k = rows[:, 128].astype(jnp.int32)
+        xb_k = rows[:, 129]
+        pos_k = rows[:, 130].astype(jnp.int32)
+        cand_k = rows[:, 131].astype(jnp.int32)
+    else:
+        llr = sb_f[top_idx]
+        nbad_k = nbad_f[top_idx]
+        xb_k = xb_f[top_idx]
+        pos_k = pos_f[top_idx]
+        cand_k = cand_all[top_idx]
     valid = nbad_k <= cfg.nbadsync_threshold
-    llr = sb_f[top_idx]
 
     # BP stays on the jnp path even when use_pallas: measured on v5e, the
-    # fused Pallas BP (ops/pallas_ldpc.py) runs 0.181 ms/win vs 0.127 for
-    # XLA's batched lowering of the same math (vmap batches the B windows'
-    # (K, 384)x(384, 418) matmuls into large ones; a per-window kernel
-    # serializes them). tools/_tail_probe.py reproduces the bake-off.
+    # fused Pallas BP (ops/pallas_ldpc.py) runs slower than XLA's batched
+    # lowering of the same math (vmap batches the B windows' edge-selection
+    # matmuls into large ones; a per-window kernel serializes them).
+    # tools/_tail_probe.py reproduces the bake-off.
     bp = ldpc.bp_decode(llr, valid)
 
     # Device-side result compaction: keep only max_results slots, decodes
@@ -239,21 +389,42 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     # copies its whole result table to the host every loop
     # (result_keeper.cuh:123-130); we ship ~R rows instead of K.
     # top_idx is already in exact (nbadsync, xb) order, so rank position =
-    # arange(k); the two-key sort puts decodes first, best-ordered within.
+    # arange(k); found*2^20 - rank ranks decodes first, best-ordered within
+    # each group (k <= 2^20 always).
     r = min(cfg.max_results, k)
-    _, sel = jax.lax.sort(
-        ((~bp.found).astype(jnp.int32), jnp.arange(k, dtype=jnp.int32)),
-        num_keys=2)
-    sel = sel[:r]
-    cand_flat = idx_map[top_idx] if idx_map is not None else top_idx
+    key = bp.found.astype(jnp.int32) * (1 << 20) - jnp.arange(k, dtype=jnp.int32)
+    _, sel = jax.lax.top_k(key, r)
+    if use_pallas:
+        cols = jnp.concatenate([
+            bp.codeword[:, :77].astype(jnp.float32),
+            jnp.stack([valid.astype(jnp.float32), bp.found.astype(jnp.float32),
+                       nbad_k.astype(jnp.float32), xb_k,
+                       pos_k.astype(jnp.float32), cand_k.astype(jnp.float32),
+                       bp.iterations.astype(jnp.float32),
+                       bp.hard_errors.astype(jnp.float32)], axis=1),
+        ], axis=1)  # (k, 85)
+        out = take_rows_exact(cols, sel)
+        return WindowDecodeResult(
+            cand_index=out[:, 82].astype(jnp.int32),
+            valid=out[:, 77] != 0.0,
+            found=out[:, 78] != 0.0,
+            message_bits=out[:, :77].astype(jnp.int8),
+            nbadsync=out[:, 79].astype(jnp.int32),
+            xb=out[:, 80],
+            pos=out[:, 81].astype(jnp.int32),
+            ldpc_iterations=out[:, 83].astype(jnp.int32),
+            hard_errors=out[:, 84].astype(jnp.int32),
+            num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
+            block_power=block_powers(c),
+        )
     return WindowDecodeResult(
-        cand_index=cand_flat[sel],
+        cand_index=cand_k[sel],
         valid=valid[sel],
         found=bp.found[sel],
         message_bits=bp.codeword[sel, :77],
         nbadsync=nbad_k[sel],
-        xb=xb_f[top_idx][sel],
-        pos=pos_f[top_idx][sel],
+        xb=xb_k[sel],
+        pos=pos_k[sel],
         ldpc_iterations=bp.iterations[sel],
         hard_errors=bp.hard_errors[sel],
         num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),

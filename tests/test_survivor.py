@@ -89,20 +89,41 @@ class TestGammaMath:
 
 
 class TestPrefilterPipeline:
+    @staticmethod
+    def _decode_summary(res, cfg):
+        """Per-message (best num_avg, best nbadsync) — exactly what the
+        output line depends on after ResultFilter dedup (the per-cell
+        prefilter cap may drop redundant duplicate-lag decodes of the same
+        message within one (freq, pattern) cell, so raw candidate sets are
+        not comparable across paths)."""
+        from msk144cudecoder_tpu import constants as C
+
+        found = np.asarray(res.found)
+        best = {}
+        for bits, cand, nbad in zip(np.asarray(res.message_bits)[found],
+                                    np.asarray(res.cand_index)[found],
+                                    np.asarray(res.nbadsync)[found]):
+            _, p_idx, _ = pipeline.unpack_candidate_index(cfg, int(cand))
+            key = (int(C.PATTERN_NUM_AVG[p_idx]), int(nbad))
+            t = tuple(bits)
+            best[t] = min(best.get(t, key), key)
+        return best
+
     def test_decode_parity_with_full_path(self, window):
+        # max_survivors large enough that the full path does not truncate
+        # its survivor set (a truncated batch under-reports low-num_avg
+        # decodes and makes the comparison depend on batch composition)
+        cfg_full = CFG.replace(survivor_prefilter=0, use_pallas=False,
+                               max_survivors=512)
+        cfg_pre = CFG.replace(survivor_prefilter=512, use_pallas=False,
+                              max_survivors=512)
         full = jax.jit(lambda w: pipeline.decode_window_tables(
-            w, FREQS, CFG.replace(survivor_prefilter=0, use_pallas=False)))(window)
+            w, FREQS, cfg_full))(window)
         pre = jax.jit(lambda w: pipeline.decode_window_tables(
-            w, FREQS, CFG.replace(survivor_prefilter=256, use_pallas=False)))(window)
-        f_full = np.asarray(full.found)
-        f_pre = np.asarray(pre.found)
-        # identical decoded candidate sets and payloads
-        np.testing.assert_array_equal(
-            np.sort(np.asarray(full.cand_index)[f_full]),
-            np.sort(np.asarray(pre.cand_index)[f_pre]))
-        bits_full = {tuple(b) for b in np.asarray(full.message_bits)[f_full]}
-        bits_pre = {tuple(b) for b in np.asarray(pre.message_bits)[f_pre]}
-        assert bits_full == bits_pre and len(bits_full) == 1
+            w, FREQS, cfg_pre))(window)
+        sum_full = self._decode_summary(full, cfg_full)
+        sum_pre = self._decode_summary(pre, cfg_pre)
+        assert sum_full == sum_pre and len(sum_full) == 1
 
     def test_noise_only_no_decodes(self):
         rng = np.random.default_rng(11)
