@@ -150,7 +150,10 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
     edge_valid_f = jnp.asarray(tbl["edge_valid_f"])  # (418,) {0,1}
     jmod = jnp.asarray(tbl["jmod"])  # (418,)
     SEL_BIT = jnp.asarray(tbl["SEL_BIT"])  # (128, 418)
-    SEL_SLOT = jnp.asarray(tbl["SEL_SLOT"])  # (3, 418, 128)
+    # one wide matmul for the three slot selections (better MXU utilization
+    # than three narrow ones); the slot sums stay slot-ordered f32 adds
+    SEL_SLOT_W = jnp.asarray(
+        np.concatenate(list(tbl["SEL_SLOT"]), axis=1))  # (418, 384)
     COUNT_M = jnp.asarray(tbl["COUNT_M"])  # (128, 38)
     CRC_M = jnp.asarray(tbl["CRC_M"])
 
@@ -174,10 +177,10 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
         tov_e, found, cw_s, iter_s, nerr_s = state  # tov_e (K, 418) edges
         # per-bit sum of the 3 incident check messages: slot-separated
         # one-hot copies added in slot order (bit-identical to a slot-major
-        # layout; a single summing matmul would re-associate the f32 adds)
-        zn = llr
-        for k in range(3):
-            zn = zn + jnp.matmul(tov_e, SEL_SLOT[k], precision=_EXACT_SEL)
+        # layout; a single SUMMING matmul would re-associate the f32 adds,
+        # but one WIDE matmul of the three selectors keeps each copy exact)
+        zs = jnp.matmul(tov_e, SEL_SLOT_W, precision=_EXACT_SEL)  # (K, 384)
+        zn = ((llr + zs[:, 0:128]) + zs[:, 128:256]) + zs[:, 256:384]
         cw, ok, nerr = check_stage(zn)
         newly = ok & (~found)
         cw_s = jnp.where(newly[:, None], cw.astype(jnp.int8), cw_s)

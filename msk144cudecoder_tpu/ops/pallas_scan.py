@@ -166,6 +166,9 @@ def _scan_kernel(scan_depth: int, num_cand: int, prec,
 
 
 def _lag_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
+    # The fancy-index gather costs ~0.08 ms/win in fusion+layout copies on
+    # v5e, but measured alternatives are worse (42 stacked static slices:
+    # 0.6 ms/win of data formatting).
     ext = jnp.concatenate([c, c[: C.SYNC_CORR_LEN - 1]])
     idx = np.arange(_N)[:, None] + np.arange(C.SYNC_CORR_LEN)[None, :]
     return ext[idx]

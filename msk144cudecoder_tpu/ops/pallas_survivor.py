@@ -83,13 +83,28 @@ def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
         axis=1)
 
 
+def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """rows (S, n), idx (S,) -> rows[s, idx[s]] via compare+sum (XLA's TPU
+    take_along_axis lowers to a scalar-core gather; this stays on the VPU)."""
+    hit = idx[:, None] == jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(jnp.where(hit, rows, 0.0), axis=1)
+
+
+_WQ_COLS = (_N - 1) // 128 + 1  # 41 row-aligned W powers
+
+
 def survivor_params(pos_s, f_idx, p_idx, W, chi):
-    """Per-survivor kernel operands, all from exact table values.
+    """Per-survivor kernel operands from exact table values.
 
     pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
     chi: (F,) complex64 wrap correction (tables.py). Returns
     (ints (S, 6, 4) int32 [q, r, t1, t2], gam (S, 6, 6) f32
     [gre0 gre1 gre2 gim0 gim1 gim2]).
+
+    All frequency-indexed tables ride ONE one-hot row-select matmul over a
+    packed (F, cols) matrix (per-survivor scalar gathers ran on the TPU
+    scalar core, ~0.04 ms/win); W[f, pos] splits as W[f, 128q]*W[f, r]
+    (one extra f32 product, same order as the existing gamma products).
     """
     S = pos_s.shape[0]
     m = jnp.arange(_M, dtype=jnp.int32)
@@ -100,10 +115,33 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi):
     t2 = jnp.clip(2 * _N - start, 0, _CHUNK)
     ints = jnp.stack([q, r, t1, t2], axis=-1).astype(jnp.int32)
 
-    masks = jnp.asarray(C.PATTERN_MASKS.astype(np.float32))[p_idx]  # (S, 6)
-    w_pos = W[f_idx, pos_s]  # (S,) exact table gather
-    t864 = W[:, :: C.FRAME_LEN][:, :_M][f_idx]  # (S, 6) = W[f, 864m], 864*5 < N
-    phi = jnp.conj(1.0 + chi)[f_idx]  # (S,) exp(+2j pi f N / fs)
+    # packed per-frequency matrix: [Wq | Wr | t864 | phi] re/im planes
+    wq = W[:, ::128][:, :_WQ_COLS]  # (F, 41)
+    wr = W[:, :128]  # (F, 128)
+    t864_t = W[:, :: C.FRAME_LEN][:, :_M]  # (F, 6) = W[f, 864m], 864*5 < N
+    phi_t = jnp.conj(1.0 + chi)[:, None]  # (F, 1) exp(+2j pi f N / fs)
+    fm = jnp.concatenate(
+        [wq.real, wq.imag, wr.real, wr.imag,
+         t864_t.real, t864_t.imag, phi_t.real, phi_t.imag],
+        axis=1).astype(jnp.float32)  # (F, 352)
+    oh = (f_idx[:, None] == jnp.arange(W.shape[0], dtype=jnp.int32)
+          ).astype(jnp.float32)
+    rows = jnp.matmul(oh, fm, precision=jax.lax.Precision.HIGH)  # (S, 352)
+
+    q0 = pos_s // 128
+    r0 = pos_s % 128
+    wq_s = jax.lax.complex(_mask_pick(rows[:, 0:41], q0, _WQ_COLS),
+                           _mask_pick(rows[:, 41:82], q0, _WQ_COLS))
+    wr_s = jax.lax.complex(_mask_pick(rows[:, 82:210], r0, 128),
+                           _mask_pick(rows[:, 210:338], r0, 128))
+    w_pos = wq_s * wr_s  # (S,) = W[f, pos] up to one f32 product
+    t864 = jax.lax.complex(rows[:, 338:344], rows[:, 344:350])  # (S, 6)
+    phi = jax.lax.complex(rows[:, 350], rows[:, 351])  # (S,)
+
+    pm = jnp.asarray(C.PATTERN_MASKS.astype(np.float32))  # (8, 6)
+    hitp = p_idx[:, None] == jnp.arange(pm.shape[0], dtype=jnp.int32)
+    masks = jnp.sum(jnp.where(hitp[:, :, None], pm[None, :, :], 0.0), axis=1)
+
     g0 = masks.astype(w_pos.dtype) * w_pos[:, None] * t864  # (S, 6)
     g1 = g0 * phi[:, None]
     g2 = g1 * phi[:, None]

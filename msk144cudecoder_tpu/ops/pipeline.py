@@ -141,7 +141,11 @@ def prefilter_select(xb: jnp.ndarray, pos: jnp.ndarray, pre: int,
         xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
     cells = F * P
     xb2, loc2 = jax.lax.top_k(xb.reshape(cells, S), per_cell)
-    pos2 = jnp.take_along_axis(pos.reshape(cells, S), loc2, axis=1)
+    # pos lookup as a mask-sum over the tiny slot axis (take_along_axis
+    # lowers to a scalar-core gather: 0.06 ms/win measured on v5e)
+    pos2 = jnp.sum(
+        jnp.where(loc2[:, :, None] == jnp.arange(S, dtype=jnp.int32),
+                  pos.reshape(cells, 1, S), 0), axis=2)
     # pack (flat candidate index, pos) into one int32 carrier so the
     # post-top_k load is a single small gather: flat < 24048, pos < 8192
     flat2 = jnp.arange(cells, dtype=jnp.int32)[:, None] * S + loc2
