@@ -93,13 +93,19 @@ def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
 _WQ_COLS = (_N - 1) // 128 + 1  # 41 row-aligned W powers
 
 
-def survivor_params(pos_s, f_idx, p_idx, W, chi):
+def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
     """Per-survivor kernel operands from exact table values.
 
     pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
     chi: (F,) complex64 wrap correction (tables.py). Returns
-    (ints (S, 6, 4) int32 [q, r, t1, t2], gam (S, 6, 6) f32
+    (ints (S, T, 4) int32 [q, r, t1, t2], gam (S, T, 6) f32
     [gre0 gre1 gre2 gim0 gim1 gim2]).
+
+    terms (S, T) int32 optionally lists each survivor's ACTIVE frame offsets
+    m (the nonzero positions of its pattern mask); gamma then carries an
+    implicit mask of 1 per term. Without it T = 6 with the pattern-mask
+    zeros folded into gamma — identical sums (adding exact zeros), ~2x the
+    kernel rows on the average pattern mix.
 
     All frequency-indexed tables ride ONE one-hot row-select matmul over a
     packed (F, cols) matrix (per-survivor scalar gathers ran on the TPU
@@ -107,8 +113,11 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi):
     (one extra f32 product, same order as the existing gamma products).
     """
     S = pos_s.shape[0]
-    m = jnp.arange(_M, dtype=jnp.int32)
-    start = pos_s[:, None] + 864 * m[None, :]  # (S, 6)
+    if terms is None:
+        m = jnp.broadcast_to(jnp.arange(_M, dtype=jnp.int32), (S, _M))
+    else:
+        m = terms.astype(jnp.int32)  # (S, T)
+    start = pos_s[:, None] + 864 * m  # (S, T)
     q = start // 128
     r = start % 128
     t1 = jnp.clip(_N - start, 0, _CHUNK)
@@ -135,28 +144,35 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi):
     wr_s = jax.lax.complex(_mask_pick(rows[:, 82:210], r0, 128),
                            _mask_pick(rows[:, 210:338], r0, 128))
     w_pos = wq_s * wr_s  # (S,) = W[f, pos] up to one f32 product
-    t864 = jax.lax.complex(rows[:, 338:344], rows[:, 344:350])  # (S, 6)
+    t864_all = jax.lax.complex(rows[:, 338:344], rows[:, 344:350])  # (S, 6)
     phi = jax.lax.complex(rows[:, 350], rows[:, 351])  # (S,)
 
-    pm = jnp.asarray(C.PATTERN_MASKS.astype(np.float32))  # (8, 6)
-    hitp = p_idx[:, None] == jnp.arange(pm.shape[0], dtype=jnp.int32)
-    masks = jnp.sum(jnp.where(hitp[:, :, None], pm[None, :, :], 0.0), axis=1)
+    if terms is None:
+        t864 = t864_all
+        pm = jnp.asarray(C.PATTERN_MASKS.astype(np.float32))  # (8, 6)
+        hitp = p_idx[:, None] == jnp.arange(pm.shape[0], dtype=jnp.int32)
+        masks = jnp.sum(jnp.where(hitp[:, :, None], pm[None, :, :], 0.0),
+                        axis=1)
+    else:
+        hitm = m[:, :, None] == jnp.arange(_M, dtype=jnp.int32)  # (S, T, 6)
+        t864 = jnp.sum(jnp.where(hitm, t864_all[:, None, :], 0.0), axis=2)
+        masks = jnp.ones(m.shape, jnp.float32)
 
-    g0 = masks.astype(w_pos.dtype) * w_pos[:, None] * t864  # (S, 6)
+    g0 = masks.astype(w_pos.dtype) * w_pos[:, None] * t864  # (S, T)
     g1 = g0 * phi[:, None]
     g2 = g1 * phi[:, None]
     gam = jnp.stack(
         [g0.real, g1.real, g2.real, g0.imag, g1.imag, g2.imag],
-        axis=-1).astype(jnp.float32)  # (S, 6, 6)
+        axis=-1).astype(jnp.float32)  # (S, T, 6)
     return ints, gam
 
 
-def _survivor_kernel(sb_blk: int, mf_mode: str, exact3: bool,
+def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
                      c_ri, wf_re, wf_im, ints_ref, fidx_ref, gam_ref,
                      m_ref, m_h, m_l, masks_ref,
                      sb_out, nbad_out,
                      ch_re, ch_im):
-    rows = _M * sb_blk  # chunk rows, m-major: row = m*SB + s
+    rows = n_terms * sb_blk  # chunk rows, term-major: row = j*SB + s
 
     # ---- 1. chunk extraction: one one-hot matmul, 8 segment copies -------
     qcol = ints_ref[:, 0:1]  # (rows, 1)
@@ -194,7 +210,7 @@ def _survivor_kernel(sb_blk: int, mf_mode: str, exact3: bool,
     zi = chr_ * gim + chi_ * gre
     ar = zr[0:sb_blk, :]
     ai = zi[0:sb_blk, :]
-    for m in range(1, _M):
+    for m in range(1, n_terms):
         ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
         ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
 
@@ -220,11 +236,16 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
                     f_idx: jnp.ndarray, p_idx: jnp.ndarray,
                     interpret: bool | None = None,
                     fast_math: bool = False,
-                    sb_blk: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    sb_blk: int = 128,
+                    terms: jnp.ndarray | None = None
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate S prefiltered candidates of one window (vmap-batchable).
 
     c: (N,) complex64 analytic window. freqs: static tuple or FreqTables.
     pos_s/f_idx/p_idx: (S,) int32, S a multiple of sb_blk.
+    terms (S, T) int32 optionally lists each survivor's active frame
+    offsets (see survivor_params) — the tiered path: a pattern-p batch only
+    pays for its T = popcount(mask_p) frames instead of 6.
     Returns (softbits (S, 128) f32, nbadsync (S,) int32).
     """
     if interpret is None:
@@ -240,14 +261,15 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     S = pos_s.shape[0]
     assert S % sb_blk == 0, (S, sb_blk)
     nstep = S // sb_blk
+    n_terms = _M if terms is None else terms.shape[1]
 
-    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi)
+    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
 
-    # m-major row layout per step: row = (step*6 + m)*SB + s_local
-    def rows_mmajor(a):  # (S, 6, cols) -> (nstep*6*SB, cols)
+    # term-major row layout per step: row = (step*T + j)*SB + s_local
+    def rows_mmajor(a):  # (S, T, cols) -> (nstep*T*SB, cols)
         cols = a.shape[-1]
-        r = a.reshape(nstep, sb_blk, _M, cols).transpose(0, 2, 1, 3)
-        return r.reshape(nstep * _M * sb_blk, cols)
+        r = a.reshape(nstep, sb_blk, n_terms, cols).transpose(0, 2, 1, 3)
+        return r.reshape(nstep * n_terms * sb_blk, cols)
 
     def pad128(a):
         return jnp.concatenate(
@@ -277,10 +299,11 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
 
     mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     exact3 = not interpret
-    kernel = functools.partial(_survivor_kernel, sb_blk, mf_mode, exact3)
+    kernel = functools.partial(_survivor_kernel, sb_blk, n_terms, mf_mode,
+                               exact3)
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
-    rows = _M * sb_blk
+    rows = n_terms * sb_blk
     sb, nbad128 = pl.pallas_call(
         kernel,
         grid=(nstep,),
@@ -321,7 +344,8 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     return sb, nbad128[:, 0]
 
 
-def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx):
+def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx,
+                        terms=None):
     """Pure-jnp reference of the gamma-factorized survivor demod (same math
     as the kernel up to float association; used for parity tests and as the
     non-Pallas fallback when a prefilter is configured off-TPU)."""
@@ -333,7 +357,7 @@ def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx):
         W = jnp.asarray(t.W)
         chi = jnp.asarray(t.chi[0])
 
-    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi)
+    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
     ext = jnp.concatenate([c, c, c[:_CHUNK]])
     start = ints[..., 0] * 128 + ints[..., 1]  # (S, 6)
     idx = start[..., None] + jnp.arange(_CHUNK)[None, None, :]

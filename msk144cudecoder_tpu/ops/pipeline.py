@@ -303,7 +303,32 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
             p_idx = (pre_idx % per_f) // pos.shape[2]
             pos_f = pos.reshape(nc)[pre_idx]
             pattern_major = False
-        if use_pallas:
+        if use_pallas and pattern_major:
+            # tiered demod: one kernel call per pattern segment, paying only
+            # for that pattern's active frames (the average pattern mix has
+            # ~42% zero-mask rows under the flat 6-frame layout)
+            seg_sizes = split_quota(pre, pos.shape[1])
+            offs = np.cumsum([0] + seg_sizes)
+            sb_parts, nbad_parts = [], []
+            for p in range(pos.shape[1]):
+                tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+                sl = slice(int(offs[p]), int(offs[p + 1]))
+                n = seg_sizes[p]
+                npad = -n % 8
+
+                def padz(a):
+                    return jnp.pad(a[sl], (0, npad))
+
+                terms = jnp.broadcast_to(
+                    jnp.asarray(tl, jnp.int32), (n + npad, len(tl)))
+                sbp, nbp = pallas_survivor.demod_survivors(
+                    c, freqs, padz(pos_f), padz(f_idx), padz(p_idx),
+                    fast_math=cfg.fast_math, sb_blk=n + npad, terms=terms)
+                sb_parts.append(sbp[:n])
+                nbad_parts.append(nbp[:n])
+            sb_f = jnp.concatenate(sb_parts)
+            nbad_f = jnp.concatenate(nbad_parts)
+        elif use_pallas:
             sb_f, nbad_f = pallas_survivor.demod_survivors(
                 c, freqs, pos_f, f_idx, p_idx, fast_math=cfg.fast_math)
         else:

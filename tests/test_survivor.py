@@ -68,6 +68,33 @@ class TestGammaMath:
                / (np.abs(np.asarray(sb_r)) + 1e-3))
         assert rel.max() < 5e-3
 
+    def test_tiered_terms_match_flat(self, window, candidates):
+        """The tiered path (active-frame terms only) matches the flat
+        6-frame layout: zero-mask rows contribute exact zeros, so the only
+        differences are 1-ulp fma-fusion artifacts in the gamma products
+        (XLA fuses complex multiplies differently across graphs)."""
+        _, _, f_idx, p_idx, pos_s = candidates
+        import msk144cudecoder_tpu.constants as C
+
+        for p in (0, 2, 5, 6):  # incl. a gap pattern
+            n = 16
+            tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+            pp = jnp.full((n,), p, jnp.int32)
+            ps = pos_s[:n]
+            fi = f_idx[:n]
+            terms = jnp.broadcast_to(jnp.asarray(tl, jnp.int32),
+                                     (n, len(tl)))
+            sb_flat, nb_flat = pallas_survivor.demod_survivors(
+                window, FREQS, ps, fi, pp, interpret=True, sb_blk=n)
+            sb_t, nb_t = pallas_survivor.demod_survivors(
+                window, FREQS, ps, fi, pp, interpret=True, sb_blk=n,
+                terms=terms)
+            np.testing.assert_array_equal(np.asarray(nb_t),
+                                          np.asarray(nb_flat))
+            np.testing.assert_allclose(np.asarray(sb_t),
+                                       np.asarray(sb_flat),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_wrap_positions(self, window):
         """Candidates whose frames wrap the window boundary (the k=1/2 gamma
         branches) still match the table-mixed demod."""
