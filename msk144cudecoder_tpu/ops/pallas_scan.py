@@ -165,33 +165,44 @@ def _scan_kernel(scan_depth: int, num_cand: int, prec,
     xb_out[:, :] = jnp.sqrt(xb_out[:, :])
 
 
-def _lag_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
-    # The fancy-index gather costs ~0.08 ms/win in fusion+layout copies on
-    # v5e, but measured alternatives are worse (42 stacked static slices:
-    # 0.6 ms/win of data formatting).
-    ext = jnp.concatenate([c, c[: C.SYNC_CORR_LEN - 1]])
+def lag_matrices(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(cmat_ri (..., N, 84), bnd_ri (..., 41, 84)) kernel operands from one
+    window (N,) or a batch (B, N) of windows.
+
+    Kept as fancy-index gathers traced per window: measured alternatives
+    are worse on v5e (42 stacked static slices: 0.6 ms/win of data
+    formatting; one batched gather hoisted outside the decode vmap:
+    +0.23 ms/win of layout copies).
+    """
+    ext = jnp.concatenate([c, c[..., : C.SYNC_CORR_LEN - 1]], axis=-1)
     idx = np.arange(_N)[:, None] + np.arange(C.SYNC_CORR_LEN)[None, :]
-    return ext[idx]
+    cmat = ext[..., idx]
 
-
-def _boundary_matrix_np(c: jnp.ndarray) -> jnp.ndarray:
     r = np.arange(C.SYNC_CORR_LEN - 1)[:, None]
     i = np.arange(C.SYNC_CORR_LEN)[None, :]
     wrapped = i >= (C.SYNC_CORR_LEN - 1) - r
-    idx = np.where(wrapped, r + i - (C.SYNC_CORR_LEN - 1), 0)
-    return jnp.where(jnp.asarray(wrapped), c[idx], 0.0 + 0.0j)
+    bidx = np.where(wrapped, r + i - (C.SYNC_CORR_LEN - 1), 0)
+    bnd = jnp.where(jnp.asarray(wrapped), c[..., bidx], 0.0 + 0.0j)
+
+    cmat_ri = jnp.concatenate([cmat.real, cmat.imag], axis=-1)
+    bnd_ri = jnp.concatenate([bnd.real, bnd.imag], axis=-1)
+    return cmat_ri, bnd_ri
 
 
 def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
                 interpret: bool | None = None,
                 fast_math: bool = False,
-                num_cand: int = _NC) -> tuple[jnp.ndarray, jnp.ndarray]:
+                num_cand: int = _NC,
+                lag_ri: tuple[jnp.ndarray, jnp.ndarray] | None = None
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
     c: (5184,) complex64 window. freqs: tuple or FreqTables. Returns
     (pos, xb) each (F, scan_depth, k), F unpadded (k = num_cand, the
     cfg.candidates_per_pattern knob; reference fixes 8, common.h:34).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
+    lag_ri: optional precomputed (cmat_ri, bnd_ri) [re|im] operands from
+    lag_matrices(c) — for callers that reuse them across calls.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -217,8 +228,10 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     E = pad_f(t.E, 1)
     chi = pad_f(t.chi, 1)
 
-    cmat = _lag_matrix_np(c)
-    bnd = _boundary_matrix_np(c)
+    if lag_ri is None:
+        cmat_ri, bnd_ri = lag_matrices(c)
+    else:
+        cmat_ri, bnd_ri = lag_ri
 
     n_tiles = fp // _F_TILE
     grid = (n_tiles,)
@@ -267,8 +280,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        jnp.concatenate([cmat.real, cmat.imag], axis=1),
-        jnp.concatenate([bnd.real, bnd.imag], axis=1),
+        cmat_ri, bnd_ri,
         B.real, B.imag, E.real, E.imag, chi.real, chi.imag,
     )
     pos = pos.reshape(scan_depth, num_cand, fp).transpose(2, 0, 1)

@@ -243,8 +243,19 @@ def split_quota(total: int, parts: int) -> list[int]:
             for p in range(parts)]
 
 
+def resolve_use_pallas(cfg: DecoderConfig) -> bool:
+    """Effective use_pallas: auto (None) = fused kernels on TPU (validated
+    on v5e hardware — exact demod parity, scan candidate-set parity; ~250x
+    faster than XLA's scalar-core gather lowering); pure-jnp elsewhere."""
+    if cfg.use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return cfg.use_pallas
+
+
 def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
-                         chan_valid: jnp.ndarray | None = None) -> WindowDecodeResult:
+                         chan_valid: jnp.ndarray | None = None,
+                         lag_ri: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+                         ) -> WindowDecodeResult:
     """One analytic window (5184,) complex64 -> fixed-shape decode results.
 
     `freqs` is either a static tuple (single-device: tables become jit
@@ -257,12 +268,7 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     make F divisible by the mesh; those channels must not compete for
     survivor slots or report f0 outside the requested search width).
     """
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        # auto: fused kernels on TPU (validated on v5e hardware — exact
-        # demod parity, scan candidate-set parity; ~250x faster than XLA's
-        # scalar-core gather lowering); pure-jnp elsewhere
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = resolve_use_pallas(cfg)
     if use_pallas:
         # Fused TPU kernel: scan never materializes the (P, N, F) metric
         # field.
@@ -270,7 +276,8 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
                                           fast_math=cfg.fast_math,
-                                          num_cand=cfg.candidates_per_pattern)
+                                          num_cand=cfg.candidates_per_pattern,
+                                          lag_ri=lag_ri)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth,
                             num_cand=cfg.candidates_per_pattern)  # (F, P, k)
@@ -461,15 +468,20 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     )
 
 
-def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
+def decode_window(c: jnp.ndarray, cfg: DecoderConfig,
+                  lag_ri=None) -> WindowDecodeResult:
     """Single-device decode: frequency tables are jit-constants from cfg."""
-    return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg)
+    return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg,
+                                lag_ri=lag_ri)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
     """Jitted: batch of raw windows (B, raw_len) -> batched results."""
     c = preprocess(raw, cfg)
+    # (hoisting the scan lag-matrix gather out of the vmap as one batched
+    # gather was measured WORSE on v5e: 0.70 vs 0.47 ms/win — XLA lowers
+    # the per-window form better; see pallas_scan.lag_matrices)
     return jax.vmap(lambda w: decode_window(w, cfg))(c)
 
 
