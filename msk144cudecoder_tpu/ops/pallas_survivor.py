@@ -196,7 +196,12 @@ def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
         chi_ = jnp.where(take, pltpu.roll(chi_, _CHUNK - bit, 1), chi_)
 
     # ---- 2. gamma-mix (wrap power by lane threshold) + pattern sum -------
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK), 1)
+    # only lanes < _MFK survive into the matched filter (M rows >= 864 are
+    # zero), so the mix/sum/carrier stages run on the 896-lane prefix; the
+    # rolls above still need the full 1024 (their sources span all lanes)
+    chr_ = chr_[:, :_MFK]
+    chi_ = chi_[:, :_MFK]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _MFK), 1)
     t1 = ints_ref[:, 2:3]
     t2 = ints_ref[:, 3:4]
 
@@ -206,7 +211,7 @@ def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
 
     gre = pick(0, 1, 2)
     gim = pick(3, 4, 5)
-    zr = chr_ * gre - chi_ * gim  # (rows, 1024)
+    zr = chr_ * gre - chi_ * gim  # (rows, 896)
     zi = chr_ * gim + chi_ * gre
     ar = zr[0:sb_blk, :]
     ai = zi[0:sb_blk, :]
@@ -214,19 +219,19 @@ def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
         ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
         ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
 
-    # ---- 3. carrier W[f, 0:1024] via one-hot row select -------------------
+    # ---- 3. carrier W[f, 0:896] via one-hot row select --------------------
     fcol = fidx_ref[:, 0:1]  # (SB, 1)
     fpad = wf_re.shape[0]
     lanef = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, fpad), 1)
     ohf = jnp.where(fcol == lanef, 1.0, 0.0)
-    w_re = _dot_onehot(ohf, wf_re[:, :], exact3)  # (SB, 1024)
+    w_re = _dot_onehot(ohf, wf_re[:, :], exact3)  # (SB, 896)
     w_im = _dot_onehot(ohf, wf_im[:, :], exact3)
     fr = ar * w_re - ai * w_im
     fi = ar * w_im + ai * w_re
 
     # ---- 4. matched filter + shared tail ----------------------------------
-    A = _dot_mf(fr[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
-    Bm = _dot_mf(fi[:, :_MFK], m_ref[:, :], m_h, m_l, mf_mode)
+    A = _dot_mf(fr, m_ref[:, :], m_h, m_l, mf_mode)
+    Bm = _dot_mf(fi, m_ref[:, :], m_h, m_l, mf_mode)
     sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
     sb_out[:, :] = sb_scaled
     nbad_out[:, 0:1] = nbad.astype(jnp.int32)
@@ -281,10 +286,10 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     fidx_rows = pad128(f_idx.astype(jnp.int32)[:, None])
 
     fpad = -F % 128
-    wf = W[:, :_CHUNK]
+    wf = W[:, :_MFK]
     if fpad:
         wf = jnp.concatenate(
-            [wf, jnp.zeros((fpad, _CHUNK), wf.dtype)], axis=0)
+            [wf, jnp.zeros((fpad, _MFK), wf.dtype)], axis=0)
     wf_re = wf.real.astype(jnp.float32)
     wf_im = wf.imag.astype(jnp.float32)
 
@@ -309,8 +314,8 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         grid=(nstep,),
         in_specs=[
             const(_CROWS, 256),  # c re|im tiles
-            const(F + fpad, _CHUNK),  # W[:, :1024] re
-            const(F + fpad, _CHUNK),  # W[:, :1024] im
+            const(F + fpad, _MFK),  # W[:, :896] re
+            const(F + fpad, _MFK),  # W[:, :896] im
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # ints
             pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
