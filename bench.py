@@ -22,8 +22,13 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128, help="windows per device call")
-    p.add_argument("--iters", type=int, default=8, help="timed iterations")
+    p.add_argument("--batch", type=int, default=64, help="windows per device call")
+    p.add_argument("--iters", type=int, default=8, help="timed iterations per stream")
+    p.add_argument("--streams", type=int, default=2,
+                   help="concurrent host threads feeding the chip (the dev "
+                        "tunnel serializes each thread's dispatch+fetch round "
+                        "trips; two independent chains overlap them and reach "
+                        "the device-compute bound, like a pipelined driver)")
     p.add_argument("--quick", action="store_true",
                    help="small config for CI/CPU smoke runs")
     p.add_argument("--fast-math", action="store_true",
@@ -80,17 +85,34 @@ def main() -> int:
     # Every iteration's (compacted) found flags are fetched to the host — a
     # bare block_until_ready can report enqueue time rather than execution
     # time on tunneled runtimes, and a real consumer reads results per
-    # window. Each fetch pays this dev tunnel's ~27 ms round trip (a
-    # production host does not have it, and submit-all-then-collect was
-    # measured NOT to overlap it); the default batch amortizes the fetch
-    # across 128 windows (throughput knee measured at batch 128 on v5e).
+    # window. Each dispatch+fetch pair pays this dev tunnel's ~27 ms round
+    # trips (a production host does not have them); independent streams from
+    # separate host threads overlap them (measured: 2 streams reach the
+    # device-compute bound; submit-all-then-collect on one stream does NOT).
+    import threading
+
+    raws = [raw_dev] + [jax.device_put(raw, dev)
+                        for _ in range(args.streams - 1)]
+
+    def stream_loop(raw_d):
+        for _ in range(args.iters):
+            r = pipeline.decode_raw(raw_d, cfg)
+            np.asarray(r.found)
+
+    for r_ in raws[1:]:  # warm the cache for every stream's buffer
+        np.asarray(pipeline.decode_raw(r_, cfg).found)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        res = pipeline.decode_raw(raw_dev, cfg)
-        found = np.asarray(res.found)
+    if args.streams == 1:
+        stream_loop(raws[0])
+    else:
+        ths = [threading.Thread(target=stream_loop, args=(r_,)) for r_ in raws]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
     elapsed = time.perf_counter() - t0
 
-    per_window_s = elapsed / (args.iters * args.batch)
+    per_window_s = elapsed / (args.streams * args.iters * args.batch)
     samples_per_s = C.HOP_LEN / per_window_s
     rtf = samples_per_s / C.SAMPLE_RATE
     print(f"bench: {per_window_s*1e3:.2f} ms/window  {samples_per_s:,.0f} samples/s  "
