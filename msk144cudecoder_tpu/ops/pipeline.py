@@ -413,12 +413,17 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         cand_k = cand_all[top_idx]
     valid = nbad_k <= cfg.nbadsync_threshold
 
-    # BP stays on the jnp path even when use_pallas: measured on v5e, the
-    # fused Pallas BP (ops/pallas_ldpc.py) runs slower than XLA's batched
-    # lowering of the same math (vmap batches the B windows' edge-selection
-    # matmuls into large ones; a per-window kernel serializes them).
-    # tools/_tail_probe.py reproduces the bake-off.
-    bp = ldpc.bp_decode(llr, valid)
+    # Fused Pallas BP on TPU: the whole 10-iteration loop stays in VMEM.
+    # XLA's batched lowering round-trips every leave-one-out intermediate
+    # ((K, 418) x batch) through HBM and degrades with window batch
+    # (measured v5e at K=512: 0.13 ms/win at batch 16 -> 0.40 at batch 64;
+    # the kernel holds ~0.10 regardless — tools/_bp_bakeoff.py).
+    if use_pallas:
+        from . import pallas_ldpc
+
+        bp = pallas_ldpc.bp_decode_pallas(llr, valid)
+    else:
+        bp = ldpc.bp_decode(llr, valid)
 
     # Device-side result compaction: keep only max_results slots, decodes
     # first (then best remaining survivors for diagnostics). The reference
