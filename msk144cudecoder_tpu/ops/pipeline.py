@@ -429,12 +429,18 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     # first (then best remaining survivors for diagnostics). The reference
     # copies its whole result table to the host every loop
     # (result_keeper.cuh:123-130); we ship ~R rows instead of K.
-    # top_idx is already in exact (nbadsync, xb) order, so rank position =
-    # arange(k); found*2^20 - rank ranks decodes first, best-ordered within
-    # each group (k <= 2^20 always).
+    # top_idx is already in selection order, so rank position = arange(k);
+    # the two-key sort puts decodes first, rank-ordered within each group.
+    # (A found*2^20 - rank int32 top_k formulation returned RANK order — not
+    # key order — inside the fused TPU graph, silently dropping decodes past
+    # max_results, while behaving correctly in a standalone test. Root cause
+    # unclear (suspected XLA top_k-on-int32 lowering interaction); the sort
+    # is ~1 us/win and provably ordered, so it stays.)
     r = min(cfg.max_results, k)
-    key = bp.found.astype(jnp.int32) * (1 << 20) - jnp.arange(k, dtype=jnp.int32)
-    _, sel = jax.lax.top_k(key, r)
+    _, sel = jax.lax.sort(
+        ((~bp.found).astype(jnp.int32), jnp.arange(k, dtype=jnp.int32)),
+        num_keys=2)
+    sel = sel[:r]
     if use_pallas:
         cols = jnp.concatenate([
             bp.codeword[:, :77].astype(jnp.float32),

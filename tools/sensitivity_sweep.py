@@ -28,6 +28,11 @@ def main() -> int:
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--scan-depth", type=int, default=6)
     p.add_argument("--candidates-per-pattern", type=int, default=8)
+    p.add_argument("--search-width", type=float, default=100.0)
+    p.add_argument("--search-step", type=float, default=2.0)
+    p.add_argument("--max-survivors", type=int, default=256)
+    p.add_argument("--survivor-prefilter", type=int, default=None)
+    p.add_argument("--nbadsync-threshold", type=int, default=1)
     p.add_argument("--golden", action="store_true", help="also run the golden model")
     args = p.parse_args()
 
@@ -41,14 +46,20 @@ def main() -> int:
     from msk144cudecoder_tpu.ops import pipeline
     from msk144cudecoder_tpu.protocol import msg77
 
-    cfg = DecoderConfig(search_width=100.0, scan_depth=args.scan_depth,
-                        max_survivors=256,
+    cfg = DecoderConfig(search_width=args.search_width,
+                        search_step=args.search_step,
+                        scan_depth=args.scan_depth,
+                        max_survivors=args.max_survivors,
+                        survivor_prefilter=args.survivor_prefilter,
+                        nbadsync_threshold=args.nbadsync_threshold,
                         candidates_per_pattern=args.candidates_per_pattern)
     message = "CQ K1ABC FN42"
     snrs = [float(s) for s in args.snrs.split(",")]
 
     print(f"message={message!r} depth={cfg.scan_depth} "
-          f"k'={cfg.candidates_per_pattern} trials={args.trials}")
+          f"k'={cfg.candidates_per_pattern} F={cfg.num_freqs} "
+          f"K={cfg.max_survivors} pre={cfg.survivor_prefilter} "
+          f"trials={args.trials}")
     print(f"{'SNR dB':>7} | {'jax decode %':>12} | {'golden decode %':>15}")
     for snr in snrs:
         jax_hits = 0
