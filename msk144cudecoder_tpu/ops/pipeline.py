@@ -226,11 +226,17 @@ def select_survivors_quota(nbad_f: jnp.ndarray, xb_f: jnp.ndarray, k: int,
 
     quotas: list of (quota, segment) where segment is either a slice
     (pattern-major contiguous run) or a boolean mask over the flat axis.
+    Slice segments are small (~pre/P rows), so they use the provably ordered
+    two-key sort — after a fused-graph top_k was observed returning rank
+    order on v5e (see the result-compaction note below), correctness-critical
+    ordering avoids top_k where a sort is affordable. Mask segments span the
+    full candidate axis (non-prefilter path), where the sort would cost
+    ~10x; the packed-key top_k stays there.
     """
     parts = []
     for q, seg in quotas:
         if isinstance(seg, slice):
-            idx = select_survivors_topk(nbad_f[seg], xb_f[seg], q, threshold)
+            idx = select_survivors(nbad_f[seg], xb_f[seg], q)
             parts.append(idx + seg.start)
         else:
             parts.append(select_survivors_topk(nbad_f, xb_f, q, threshold,
