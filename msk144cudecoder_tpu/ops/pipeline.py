@@ -140,15 +140,15 @@ def prefilter_select(xb: jnp.ndarray, pos: jnp.ndarray, pre: int,
     if chan_valid is not None:
         xb = jnp.where(chan_valid[:, None, None], xb, 0.0)
     cells = F * P
-    xb2, loc2 = jax.lax.top_k(xb.reshape(cells, S), per_cell)
-    # pos lookup as a mask-sum over the tiny slot axis (take_along_axis
-    # lowers to a scalar-core gather: 0.06 ms/win measured on v5e)
-    pos2 = jnp.sum(
-        jnp.where(loc2[:, :, None] == jnp.arange(S, dtype=jnp.int32),
-                  pos.reshape(cells, 1, S), 0), axis=2)
+    # both scan implementations emit the S slots of a cell in descending xb
+    # order (repeated max+mask in pallas_scan.select, lax.top_k in ops/scan),
+    # so the per-cell top-k is a slice, not a top_k
+    xb2 = xb.reshape(cells, S)[:, :per_cell]
+    pos2 = pos.reshape(cells, S)[:, :per_cell]
     # pack (flat candidate index, pos) into one int32 carrier so the
     # post-top_k load is a single small gather: flat < 24048, pos < 8192
-    flat2 = jnp.arange(cells, dtype=jnp.int32)[:, None] * S + loc2
+    flat2 = (jnp.arange(cells, dtype=jnp.int32)[:, None] * S
+             + jnp.arange(per_cell, dtype=jnp.int32))
     meta2 = flat2 * 8192 + pos2
     # pattern-major views: row p holds all F*per_cell candidates of pattern p
     xb_p = xb2.reshape(F, P, per_cell).transpose(1, 0, 2).reshape(P, -1)
