@@ -32,16 +32,22 @@ host-table value (W is mod-reduced in float64, tables.py:44-46); the only
 deviation from table-mixing is the float32 product itself (~1e-7 relative).
 
 Kernel shape per grid step (SB survivors):
-  1. chunk extraction — the 8 aligned 128-lane segments of all 6 frame
-     chunks of SB survivors are ONE one-hot (48*SB, 96) x (96, 256) MXU
-     matmul against the re|im-packed extended window (same row-select +
-     residual-roll scheme as pallas_demod.py, validated on v5e).
+  1. chunk extraction — the extended window is pre-arranged host-side as a
+     SLIDING matrix R[q, l] = ext[128 q + l] (96 x 1024 per plane), so each
+     (survivor, term) chunk is ONE row of R and the whole extraction is a
+     single one-hot (T*SB, 96) x (96, 2048) MXU matmul straight into chunk
+     layout. (The earlier 8-aligned-segment scheme needed 8x the one-hot
+     rows plus 16 strided VMEM segment copies — measured 0.33 ms/win of the
+     0.47 ms kernel; this form is one matmul with 8x wider N and no copies.)
   2. gamma-mix + pattern sum — per-chunk complex scalar multiply (lane
      thresholds pick the wrap power), then 6 block adds.
-  3. carrier — W[f, 0:1024] row via a one-hot (SB, Fpad) matmul (exact 3x
-     bf16), complex multiply.
+  3. carrier — W[f, 128 j + r] = W[f, 128 j] * W[f, r] exactly, so the row
+     is built from 7 + 128 per-survivor table values (already fetched by
+     survivor_params' packed row select) as seven broadcast complex
+     products — no (SB, F) x (F, 896) matmul over the full frequency grid
+     (measured 0.15 ms/win; F = 501 on the deep scan).
   4. matched filter + tail — identical code path to pallas_demod.py
-     (_dot_mf + mf_tail).
+     (_dot_mf + mf_tail) with the re/im planes stacked into one matmul.
 
 Unlike the full kernel there is no per-(freq, pattern) shift dance: the
 pattern sum collapses into gamma, so gap patterns cost nothing special.
@@ -73,14 +79,23 @@ _CROWS = 96  # 11392 / 128 = 89 rows, padded to a sublane multiple of 8
 
 
 def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
-    """(N,) complex -> (96, 256) f32 tiles, re on lanes 0:128, im 128:256."""
+    """(N,) complex -> (96, 2048) f32 sliding matrix, re | im.
+
+    Row q holds ext[128 q : 128 q + 1024] (ext = c cyclically extended), so
+    a chunk starting at 128 q is exactly one row. Built as 8 static slices
+    of the (89, 128) tiling concatenated on lanes — pure layout copies, no
+    gather. Rows past 81 are never selected (start <= 2N - 1 => q <= 74,
+    +7 sliding rows); they carry wrapped/zero filler."""
     ext = jnp.concatenate([c, c, c[:_CHUNK]])
     ext = jnp.concatenate(
         [ext, jnp.zeros((_CROWS * 128 - _EXT_LEN,), ext.dtype)])
-    tile = ext.reshape(_CROWS, 128)
+    tile = ext.reshape(_CROWS, 128)  # (89 used rows + pad, 128)
+    r = jnp.concatenate([tile[j : j + _CROWS - 8, :] for j in range(8)],
+                        axis=1)  # (88, 1024): row q = ext[128q : 128q+1024]
+    r = jnp.concatenate(
+        [r, jnp.zeros((_CROWS - r.shape[0], 1024), r.dtype)])
     return jnp.concatenate(
-        [tile.real.astype(jnp.float32), tile.imag.astype(jnp.float32)],
-        axis=1)
+        [r.real.astype(jnp.float32), r.imag.astype(jnp.float32)], axis=1)
 
 
 def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -99,7 +114,10 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
     pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
     chi: (F,) complex64 wrap correction (tables.py). Returns
     (ints (S, T, 4) int32 [q, r, t1, t2], gam (S, T, 6) f32
-    [gre0 gre1 gre2 gim0 gim1 gim2]).
+    [gre0 gre1 gre2 gim0 gim1 gim2], car (S, 270) f32 carrier factors
+    [W[f,128j] re 0:7 | im 7:14 | W[f,r] re 14:142 | im 142:270] from which
+    the kernel rebuilds W[f, l<896] as W[f,128j]*W[f,r] — one f32 product
+    off the exact table value, same order as the gamma products).
 
     terms (S, T) int32 optionally lists each survivor's ACTIVE frame offsets
     m (the nonzero positions of its pattern mask); gamma then carries an
@@ -164,32 +182,28 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
     gam = jnp.stack(
         [g0.real, g1.real, g2.real, g0.imag, g1.imag, g2.imag],
         axis=-1).astype(jnp.float32)  # (S, T, 6)
-    return ints, gam
+    car = jnp.concatenate(
+        [rows[:, 0:7], rows[:, 41:48], rows[:, 82:210], rows[:, 210:338]],
+        axis=1)  # (S, 270)
+    return ints, gam, car
 
 
 def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
-                     c_ri, wf_re, wf_im, ints_ref, fidx_ref, gam_ref,
+                     c_ri, car_ref, ints_ref, gam_ref,
                      m_ref, m_h, m_l, masks_ref,
-                     sb_out, nbad_out,
-                     ch_re, ch_im):
+                     sb_out, nbad_out):
     rows = n_terms * sb_blk  # chunk rows, term-major: row = j*SB + s
 
-    # ---- 1. chunk extraction: one one-hot matmul, 8 segment copies -------
+    # ---- 1. chunk extraction: one one-hot row select off the sliding R --
     qcol = ints_ref[:, 0:1]  # (rows, 1)
-    qrep = pltpu.repeat(qcol, 8, 0)  # (8*rows, 1): row i*rows + j -> q_j
-    icol = jax.lax.broadcasted_iota(jnp.int32, (8 * rows, 1), 0) // rows
-    lane96 = jax.lax.broadcasted_iota(jnp.int32, (8 * rows, _CROWS), 1)
-    oh = jnp.where((qrep + icol) == lane96, 1.0, 0.0)
-    pri = _dot_onehot(oh, c_ri[:, :], exact3)  # (8*rows, 256) re|im
-    for i in range(8):
-        seg = pri[i * rows : (i + 1) * rows, :]
-        ch_re[:, i * 128 : (i + 1) * 128] = seg[:, 0:128]
-        ch_im[:, i * 128 : (i + 1) * 128] = seg[:, 128:256]
+    lane96 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CROWS), 1)
+    oh = jnp.where(qcol == lane96, 1.0, 0.0)
+    ch = _dot_onehot(oh, c_ri[:, :], exact3)  # (rows, 2048) re|im
+    chr_ = ch[:, :_CHUNK]
+    chi_ = ch[:, _CHUNK:]
 
     # ---- residual shift: start % 128, bit-decomposed static lane rolls ---
     rcol = ints_ref[:, 1:2]
-    chr_ = ch_re[:, :]
-    chi_ = ch_im[:, :]
     for bit in (64, 32, 16, 8, 4, 2, 1):
         take = (rcol & bit) != 0
         chr_ = jnp.where(take, pltpu.roll(chr_, _CHUNK - bit, 1), chr_)
@@ -219,19 +233,27 @@ def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
         ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
         ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
 
-    # ---- 3. carrier W[f, 0:896] via one-hot row select --------------------
-    fcol = fidx_ref[:, 0:1]  # (SB, 1)
-    fpad = wf_re.shape[0]
-    lanef = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, fpad), 1)
-    ohf = jnp.where(fcol == lanef, 1.0, 0.0)
-    w_re = _dot_onehot(ohf, wf_re[:, :], exact3)  # (SB, 896)
-    w_im = _dot_onehot(ohf, wf_im[:, :], exact3)
+    # ---- 3. carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
+    # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]
+    car = car_ref[:, :]
+    wrre = car[:, 14:142]
+    wrim = car[:, 142:270]
+    wbr, wbi = [], []
+    for j in range(_MFK // 128):
+        qr = car[:, j : j + 1]
+        qi = car[:, 7 + j : 8 + j]
+        wbr.append(qr * wrre - qi * wrim)
+        wbi.append(qr * wrim + qi * wrre)
+    w_re = jnp.concatenate(wbr, axis=1)  # (SB, 896)
+    w_im = jnp.concatenate(wbi, axis=1)
     fr = ar * w_re - ai * w_im
     fi = ar * w_im + ai * w_re
 
-    # ---- 4. matched filter + shared tail ----------------------------------
-    A = _dot_mf(fr, m_ref[:, :], m_h, m_l, mf_mode)
-    Bm = _dot_mf(fi, m_ref[:, :], m_h, m_l, mf_mode)
+    # ---- 4. matched filter + shared tail (re/im stacked: one matmul) ------
+    AB = _dot_mf(jnp.concatenate([fr, fi], axis=0), m_ref[:, :], m_h, m_l,
+                 mf_mode)
+    A = AB[:sb_blk, :]
+    Bm = AB[sb_blk:, :]
     sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
     sb_out[:, :] = sb_scaled
     nbad_out[:, 0:1] = nbad.astype(jnp.int32)
@@ -262,13 +284,13 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         t = cached_freq_tables(tuple(float(f) for f in freqs))
         W = jnp.asarray(t.W)
         chi = jnp.asarray(t.chi[0])
-    F = W.shape[0]
+
     S = pos_s.shape[0]
     assert S % sb_blk == 0, (S, sb_blk)
     nstep = S // sb_blk
     n_terms = _M if terms is None else terms.shape[1]
 
-    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
+    ints, gam, car = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
 
     # term-major row layout per step: row = (step*T + j)*SB + s_local
     def rows_mmajor(a):  # (S, T, cols) -> (nstep*T*SB, cols)
@@ -276,22 +298,14 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         r = a.reshape(nstep, sb_blk, n_terms, cols).transpose(0, 2, 1, 3)
         return r.reshape(nstep * n_terms * sb_blk, cols)
 
-    def pad128(a):
+    def pad128(a, to: int = 128):
+        w = -a.shape[-1] % to
         return jnp.concatenate(
-            [a, jnp.zeros(a.shape[:-1] + (128 - a.shape[-1],), a.dtype)],
-            axis=-1)
+            [a, jnp.zeros(a.shape[:-1] + (w,), a.dtype)], axis=-1)
 
     ints_rows = pad128(rows_mmajor(ints))
     gam_rows = pad128(rows_mmajor(gam))
-    fidx_rows = pad128(f_idx.astype(jnp.int32)[:, None])
-
-    fpad = -F % 128
-    wf = W[:, :_MFK]
-    if fpad:
-        wf = jnp.concatenate(
-            [wf, jnp.zeros((fpad, _MFK), wf.dtype)], axis=0)
-    wf_re = wf.real.astype(jnp.float32)
-    wf_im = wf.imag.astype(jnp.float32)
+    car_rows = pad128(car)  # (S, 384)
 
     c_ri = _ext_window(c)
 
@@ -313,13 +327,11 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         kernel,
         grid=(nstep,),
         in_specs=[
-            const(_CROWS, 256),  # c re|im tiles
-            const(F + fpad, _MFK),  # W[:, :896] re
-            const(F + fpad, _MFK),  # W[:, :896] im
+            const(_CROWS, 2048),  # sliding window matrix re|im
+            pl.BlockSpec((sb_blk, 384), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),  # carrier factors
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # ints
-            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),  # f_idx
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # gamma
             const(_MFK, 256),  # matched filter f32
@@ -337,14 +349,10 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
             jax.ShapeDtypeStruct((S, 128), jnp.float32),
             jax.ShapeDtypeStruct((S, 128), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, _CHUNK), jnp.float32),  # chunks re
-            pltpu.VMEM((rows, _CHUNK), jnp.float32),  # chunks im
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c_ri, wf_re, wf_im, ints_rows, fidx_rows, gam_rows,
+    )(c_ri, car_rows, ints_rows, gam_rows,
       M, np.asarray(mh), np.asarray(ml), masks)
     return sb, nbad128[:, 0]
 
@@ -362,7 +370,7 @@ def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx,
         W = jnp.asarray(t.W)
         chi = jnp.asarray(t.chi[0])
 
-    ints, gam = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
+    ints, gam, _ = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
     ext = jnp.concatenate([c, c, c[:_CHUNK]])
     start = ints[..., 0] * 128 + ints[..., 1]  # (S, 6)
     idx = start[..., None] + jnp.arange(_CHUNK)[None, None, :]
