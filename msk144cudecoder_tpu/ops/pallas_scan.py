@@ -60,28 +60,62 @@ _F_TILE = 128  # frequency lanes per grid step (Mosaic requires 128-wide lane
 _PATTERN_TERMS = [tuple(np.nonzero(C.PATTERN_MASKS[p])[0]) for p in range(8)]
 
 
-def _scan_kernel(scan_depth: int, num_cand: int, prec,
+def _split2(x):
+    """2-way bf16 split: x ~= h + l (16 leading mantissa bits)."""
+    h = x.astype(jnp.bfloat16)
+    l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, l
+
+
+def _cmm(cr, ci, br, bi, mm_mode: str):
+    """conj(cr + i ci) @ (br + i bi) -> (re, im) via 3-matmul Karatsuba:
+    m1 = cr@br, m2 = ci@bi, m3 = (cr-ci)@(br+bi); re = m1+m2,
+    im = m3 - m1 + m2. Precision ladder ('f32' = plain HIGHEST dots, used
+    in interpreter mode and as the exactness reference; 'split2' = each real
+    matmul as 3 bf16 passes over 2-way operand splits, ~2^-16 relative —
+    the TPU default: xb is a ranking metric, slice-max gaps dwarf 1e-4
+    relative noise; 'fast' = 1-pass bf16, the fast_math option). Karatsuba
+    + split2 is 9 MXU passes vs 24 for the 4-matmul HIGHEST form (measured
+    0.13 ms/win of the 0.20 ms scan kernel on v5e, tools/_scan_ablate_r3)."""
+    if mm_mode == "f32":
+        hi = jax.lax.Precision.HIGHEST
+        mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                  precision=hi)
+        re = mm(cr, br) + mm(ci, bi)
+        im = mm(cr, bi) - mm(ci, br)
+        return re, im
+    if mm_mode == "fast":
+        mm = lambda a, b: jnp.dot(a.astype(jnp.bfloat16),
+                                  b.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+    else:  # split2
+        def mm(a, b):
+            ah, al = _split2(a)
+            bh, bl = _split2(b)
+            d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+    m1 = mm(cr, br)
+    m2 = mm(ci, bi)
+    m3 = mm(cr - ci, br + bi)
+    return m1 + m2, m3 - m1 + m2
+
+
+def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
                  cmat_ri, bnd_ri,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
     ft = b_re.shape[1]
 
     # --- r = conj(cmat) @ B + wrap correction ---------------------------
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
-
     # cmat/bnd pack [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
     cr = cmat_ri[:, : C.SYNC_CORR_LEN]
     ci = cmat_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
     br, bi = b_re[:], b_im[:]
-    r_re = mm(cr, br) + mm(ci, bi)  # conj(c) @ B, real
-    r_im = mm(cr, bi) - mm(ci, br)  # imag
+    r_re, r_im = _cmm(cr, ci, br, bi, mm_mode)
 
     bdr = bnd_ri[:, : C.SYNC_CORR_LEN]
     bdi = bnd_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
-    dr = mm(bdr, br) + mm(bdi, bi)  # (41, Ft)
-    di = mm(bdr, bi) - mm(bdi, br)
+    dr, di = _cmm(bdr, bdi, br, bi, mm_mode)  # (41, Ft)
     xr, xi = chi_re[:], chi_im[:]  # (1, Ft)
     corr_re = xr * dr - xi * di
     corr_im = xr * di + xi * dr
@@ -272,9 +306,8 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
 
-    prec = (jax.lax.Precision.DEFAULT if fast_math
-            else jax.lax.Precision.HIGHEST)
-    kernel = functools.partial(_scan_kernel, scan_depth, num_cand, prec)
+    mm_mode = "f32" if interpret else ("fast" if fast_math else "split2")
+    kernel = functools.partial(_scan_kernel, scan_depth, num_cand, mm_mode)
     pos, xb = pl.pallas_call(
         kernel,
         grid=grid,
