@@ -23,30 +23,38 @@ pos + 864m + l - k N  (k in {0,1,2}), the W factor separates exactly:
   W_f[(pos+864m+l) mod N] = W_f[pos] * W_f[864m] * W_f[l] * phi_f^k,
   phi_f = exp(+2j pi f N / fs) = conj(1 + chi_f)    (chi from ops/tables.py)
 
-so   frame[l] = W_f[l] * sum_m gamma[s,m,k(l)] * c_ext[pos + 864m + l],
+so   frame[l] = W_f[l] * sum_m gamma[s,m,k] * c_ext[pos + 864m + l],
      gamma[s,m,k] = mask_p[m] * W[f, pos] * W[f, 864m] * phi_f^k
 
 with c_ext the analytic window cyclically extended (no mod in the kernel)
-and k(l) a per-(s,m) pair of lane thresholds. Every gamma factor is an exact
+and k a per-(s,m) pair of lane thresholds. Every gamma factor is an exact
 host-table value (W is mod-reduced in float64, tables.py:44-46); the only
 deviation from table-mixing is the float32 product itself (~1e-7 relative).
 
-Kernel shape per grid step (SB survivors):
-  1. chunk extraction — the extended window is pre-arranged host-side as a
-     SLIDING matrix R[q, l] = ext[128 q + l] (96 x 1024 per plane), so each
-     (survivor, term) chunk is ONE row of R and the whole extraction is a
-     single one-hot (T*SB, 96) x (96, 2048) MXU matmul straight into chunk
-     layout. (The earlier 8-aligned-segment scheme needed 8x the one-hot
-     rows plus 16 strided VMEM segment copies — measured 0.33 ms/win of the
-     0.47 ms kernel; this form is one matmul with 8x wider N and no copies.)
-  2. gamma-mix + pattern sum — per-chunk complex scalar multiply (lane
-     thresholds pick the wrap power), then 6 block adds.
-  3. carrier — W[f, 128 j + r] = W[f, 128 j] * W[f, r] exactly, so the row
+Kernel shape per grid step (SB survivors), round-3 "offset-class" layout:
+  1. chunk extraction — term m's chunk starts at start_m = pos + 864m.
+     Since 864 = 6*128 + 96, the residue start_m % 128 = (pos + 96 m) % 128
+     differs per term — but only through the STATIC per-term offset
+     o_m = (96 m) % 128 in {0, 32, 64, 96}. The extended window is
+     pre-arranged host-side as FOUR sliding matrices R_o[q, l] =
+     ext[128 q + o + l] (one per offset class), so the chunk aligned at
+     start_m - r0 (r0 = pos % 128, the SAME for every term of a survivor)
+     is one row of R_{o_m}: row q_m = pos//128 + 6m + (96m)//128. Each
+     term block extracts with one one-hot (SB, 96) x (96, 2048) MXU matmul
+     against its (static) class table.
+  2. gamma-mix + pattern sum — per-term complex scalar multiply (lane
+     thresholds, shifted by +r0, pick the wrap power), accumulated into ONE
+     (SB, 1024) frame sum. Because all terms share the residual r0, the sum
+     happens BEFORE any residual alignment.
+  3. residual shift — ONE 7-level bit-decomposed lane-roll dance on the
+     summed (SB, 1024) block. (Round 2 rolled every (term, survivor) chunk
+     — 3.5x the rows; measured 0.145 ms of the 0.228 ms kernel,
+     tools/_demod_ablate_r3.py.)
+  4. carrier — W[f, 128 j + r] = W[f, 128 j] * W[f, r] exactly, so the row
      is built from 7 + 128 per-survivor table values (already fetched by
      survivor_params' packed row select) as seven broadcast complex
-     products — no (SB, F) x (F, 896) matmul over the full frequency grid
-     (measured 0.15 ms/win; F = 501 on the deep scan).
-  4. matched filter + tail — identical code path to pallas_demod.py
+     products — no (SB, F) x (F, 896) matmul over the full frequency grid.
+  5. matched filter + tail — identical code path to pallas_demod.py
      (_dot_mf + mf_tail) with the re/im planes stacked into one matmul.
 
 Unlike the full kernel there is no per-(freq, pattern) shift dance: the
@@ -75,27 +83,39 @@ _MFK = 896
 # extended window: [c, c, c[:1024]] covers every chunk index
 # pos + 864m + l <= (N-1) + 864*5 + 1023 = 10526 < 2N + 1024 = 11392
 _EXT_LEN = 2 * _N + _CHUNK
-_CROWS = 96  # 11392 / 128 = 89 rows, padded to a sublane multiple of 8
+_CROWS = 96  # rows per offset-class sliding matrix (q <= 73 ever selected)
+_OFFS = (0, 32, 64, 96)  # offset classes: (96 m) % 128 for m in 0..5
+
+
+def _term_geometry(m: int) -> tuple[int, int]:
+    """Static per-term extraction geometry: (row offset q_m - pos//128,
+    offset-class index). 864 m = 128*(6m + c) + o with o = (96m) % 128."""
+    c, o = divmod(96 * m, 128)
+    return 6 * m + c, _OFFS.index(o)
 
 
 def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
-    """(N,) complex -> (96, 2048) f32 sliding matrix, re | im.
+    """(N,) complex -> (384, 2048) f32 sliding matrices, re | im.
 
-    Row q holds ext[128 q : 128 q + 1024] (ext = c cyclically extended), so
-    a chunk starting at 128 q is exactly one row. Built as 8 static slices
-    of the (89, 128) tiling concatenated on lanes — pure layout copies, no
-    gather. Rows past 81 are never selected (start <= 2N - 1 => q <= 74,
-    +7 sliding rows); they carry wrapped/zero filler."""
-    ext = jnp.concatenate([c, c, c[:_CHUNK]])
-    ext = jnp.concatenate(
-        [ext, jnp.zeros((_CROWS * 128 - _EXT_LEN,), ext.dtype)])
-    tile = ext.reshape(_CROWS, 128)  # (89 used rows + pad, 128)
-    r = jnp.concatenate([tile[j : j + _CROWS - 8, :] for j in range(8)],
-                        axis=1)  # (88, 1024): row q = ext[128q : 128q+1024]
-    r = jnp.concatenate(
-        [r, jnp.zeros((_CROWS - r.shape[0], 1024), r.dtype)])
+    Four stacked 96-row blocks, one per offset class o in {0, 32, 64, 96}:
+    block row q holds ext[128 q + o : 128 q + o + 1024] (ext = c cyclically
+    extended), so a chunk aligned at 128 q + o is exactly one row. Each block
+    is built as 8 static lane-concatenated slices of the (96, 128) tiling —
+    pure layout copies, no gather. Rows past 73 are never selected
+    (q = pos//128 + 6m + c <= 40 + 33); they carry wrapped/zero filler."""
+    pad_len = _CROWS * 128 + _OFFS[-1] - _EXT_LEN
+    ext = jnp.concatenate([c, c, c[:_CHUNK],
+                           jnp.zeros((pad_len,), c.dtype)])
+    blocks = []
+    for o in _OFFS:
+        tile = ext[o : o + _CROWS * 128].reshape(_CROWS, 128)
+        r = jnp.concatenate([tile[j : j + _CROWS - 8, :] for j in range(8)],
+                            axis=1)  # (88, 1024): row q = ext[128q+o : +1024]
+        blocks.append(jnp.concatenate(
+            [r, jnp.zeros((_CROWS - r.shape[0], 1024), r.dtype)]))
+    rr = jnp.concatenate(blocks, axis=0)  # (384, 1024) complex
     return jnp.concatenate(
-        [r.real.astype(jnp.float32), r.imag.astype(jnp.float32)], axis=1)
+        [rr.real.astype(jnp.float32), rr.imag.astype(jnp.float32)], axis=1)
 
 
 def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -108,22 +128,28 @@ def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
 _WQ_COLS = (_N - 1) // 128 + 1  # 41 row-aligned W powers
 
 
-def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
+def survivor_params(pos_s, f_idx, p_idx, W, chi,
+                    terms: tuple[int, ...] | None = None):
     """Per-survivor kernel operands from exact table values.
 
     pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
     chi: (F,) complex64 wrap correction (tables.py). Returns
-    (ints (S, T, 4) int32 [q, r, t1, t2], gam (S, T, 6) f32
+    (ints (S, T, 4) int32 [q_m, r0, t1, t2], gam (S, T, 6) f32
     [gre0 gre1 gre2 gim0 gim1 gim2], car (S, 270) f32 carrier factors
     [W[f,128j] re 0:7 | im 7:14 | W[f,r] re 14:142 | im 142:270] from which
     the kernel rebuilds W[f, l<896] as W[f,128j]*W[f,r] — one f32 product
     off the exact table value, same order as the gamma products).
 
-    terms (S, T) int32 optionally lists each survivor's ACTIVE frame offsets
-    m (the nonzero positions of its pattern mask); gamma then carries an
-    implicit mask of 1 per term. Without it T = 6 with the pattern-mask
-    zeros folded into gamma — identical sums (adding exact zeros), ~2x the
-    kernel rows on the average pattern mix.
+    terms optionally lists the ACTIVE frame offsets m (the nonzero positions
+    of the pattern mask — STATIC per call: the tiered pipeline runs one call
+    per pattern); gamma then carries an implicit mask of 1 per term. Without
+    it T = 6 with the pattern-mask zeros folded into gamma — identical sums
+    (adding exact zeros), ~2x the kernel rows on the average pattern mix.
+
+    q_m = pos//128 + 6m + (96m)//128 indexes the offset-class sliding matrix
+    R_{o_m} (see _ext_window); the wrap thresholds t1/t2 are in ALIGNED lane
+    coordinates (start_m - r0 + lane), i.e. shifted by +r0 vs the logical
+    frame position.
 
     All frequency-indexed tables ride ONE one-hot row-select matmul over a
     packed (F, cols) matrix (per-survivor scalar gathers ran on the TPU
@@ -131,16 +157,18 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
     (one extra f32 product, same order as the existing gamma products).
     """
     S = pos_s.shape[0]
-    if terms is None:
-        m = jnp.broadcast_to(jnp.arange(_M, dtype=jnp.int32), (S, _M))
-    else:
-        m = terms.astype(jnp.int32)  # (S, T)
+    m_list = tuple(range(_M)) if terms is None else tuple(terms)
+    m = jnp.asarray(np.array(m_list, np.int32))[None, :]  # (1, T)
+    geo = np.array([_term_geometry(mm)[0] for mm in m_list], np.int32)
     start = pos_s[:, None] + 864 * m  # (S, T)
-    q = start // 128
-    r = start % 128
-    t1 = jnp.clip(_N - start, 0, _CHUNK)
-    t2 = jnp.clip(2 * _N - start, 0, _CHUNK)
-    ints = jnp.stack([q, r, t1, t2], axis=-1).astype(jnp.int32)
+    q0 = pos_s // 128
+    r0 = pos_s % 128
+    q_m = q0[:, None] + geo[None, :]
+    t1 = jnp.clip(_N - start + r0[:, None], 0, _CHUNK)
+    t2 = jnp.clip(2 * _N - start + r0[:, None], 0, _CHUNK)
+    ints = jnp.stack(
+        [q_m, jnp.broadcast_to(r0[:, None], q_m.shape), t1, t2],
+        axis=-1).astype(jnp.int32)
 
     # packed per-frequency matrix: [Wq | Wr | t864 | phi] re/im planes
     wq = W[:, ::128][:, :_WQ_COLS]  # (F, 41)
@@ -155,8 +183,6 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
           ).astype(jnp.float32)
     rows = jnp.matmul(oh, fm, precision=jax.lax.Precision.HIGH)  # (S, 352)
 
-    q0 = pos_s // 128
-    r0 = pos_s % 128
     wq_s = jax.lax.complex(_mask_pick(rows[:, 0:41], q0, _WQ_COLS),
                            _mask_pick(rows[:, 41:82], q0, _WQ_COLS))
     wr_s = jax.lax.complex(_mask_pick(rows[:, 82:210], r0, 128),
@@ -172,9 +198,8 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
         masks = jnp.sum(jnp.where(hitp[:, :, None], pm[None, :, :], 0.0),
                         axis=1)
     else:
-        hitm = m[:, :, None] == jnp.arange(_M, dtype=jnp.int32)  # (S, T, 6)
-        t864 = jnp.sum(jnp.where(hitm, t864_all[:, None, :], 0.0), axis=2)
-        masks = jnp.ones(m.shape, jnp.float32)
+        t864 = t864_all[:, list(m_list)]
+        masks = jnp.ones((S, len(m_list)), jnp.float32)
 
     g0 = masks.astype(w_pos.dtype) * w_pos[:, None] * t864  # (S, T)
     g1 = g0 * phi[:, None]
@@ -188,52 +213,57 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi, terms=None):
     return ints, gam, car
 
 
-def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
+def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
                      c_ri, car_ref, ints_ref, gam_ref,
                      m_ref, m_h, m_l, masks_ref,
                      sb_out, nbad_out):
-    rows = n_terms * sb_blk  # chunk rows, term-major: row = j*SB + s
+    n_terms = len(m_list)
+    lane96 = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CROWS), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CHUNK), 1)
 
-    # ---- 1. chunk extraction: one one-hot row select off the sliding R --
-    qcol = ints_ref[:, 0:1]  # (rows, 1)
-    lane96 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CROWS), 1)
-    oh = jnp.where(qcol == lane96, 1.0, 0.0)
-    ch = _dot_onehot(oh, c_ri[:, :], exact3)  # (rows, 2048) re|im
-    chr_ = ch[:, :_CHUNK]
-    chi_ = ch[:, _CHUNK:]
+    # ---- per-term: one-hot extraction off the term's offset-class matrix,
+    # gamma-mix with wrap thresholds, accumulate the pattern sum -----------
+    ar = ai = None
+    for j, m in enumerate(m_list):
+        rs = slice(j * sb_blk, (j + 1) * sb_blk)
+        cls = _term_geometry(m)[1]
+        qcol = ints_ref[rs, 0:1]  # (SB, 1): row in R_cls
+        oh = jnp.where(qcol == lane96, 1.0, 0.0)
+        ch = _dot_onehot(
+            oh, c_ri[cls * _CROWS : (cls + 1) * _CROWS, :], exact3)
+        chr_ = ch[:, :_CHUNK]
+        chi_ = ch[:, _CHUNK:]
+        t1 = ints_ref[rs, 2:3]
+        t2 = ints_ref[rs, 3:4]
+        g = gam_ref[rs, :]
 
-    # ---- residual shift: start % 128, bit-decomposed static lane rolls ---
-    rcol = ints_ref[:, 1:2]
+        def pick(k0, k1, k2):
+            a = jnp.where(lane < t1, g[:, k0 : k0 + 1], g[:, k1 : k1 + 1])
+            return jnp.where(lane < t2, a, g[:, k2 : k2 + 1])
+
+        gre = pick(0, 1, 2)
+        gim = pick(3, 4, 5)
+        zr = chr_ * gre - chi_ * gim  # (SB, 1024)
+        zi = chr_ * gim + chi_ * gre
+        if ar is None:
+            ar, ai = zr, zi
+        else:
+            ar = ar + zr
+            ai = ai + zi
+
+    # ---- residual shift: ONE bit-decomposed lane-roll dance on the summed
+    # frames (r0 = pos % 128 is shared by every term of a survivor) --------
+    rcol = ints_ref[0:sb_blk, 1:2]
     for bit in (64, 32, 16, 8, 4, 2, 1):
         take = (rcol & bit) != 0
-        chr_ = jnp.where(take, pltpu.roll(chr_, _CHUNK - bit, 1), chr_)
-        chi_ = jnp.where(take, pltpu.roll(chi_, _CHUNK - bit, 1), chi_)
-
-    # ---- 2. gamma-mix (wrap power by lane threshold) + pattern sum -------
+        ar = jnp.where(take, pltpu.roll(ar, _CHUNK - bit, 1), ar)
+        ai = jnp.where(take, pltpu.roll(ai, _CHUNK - bit, 1), ai)
     # only lanes < _MFK survive into the matched filter (M rows >= 864 are
-    # zero), so the mix/sum/carrier stages run on the 896-lane prefix; the
-    # rolls above still need the full 1024 (their sources span all lanes)
-    chr_ = chr_[:, :_MFK]
-    chi_ = chi_[:, :_MFK]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _MFK), 1)
-    t1 = ints_ref[:, 2:3]
-    t2 = ints_ref[:, 3:4]
+    # zero); the roll needed the full 1024 (sources span lanes up to 896+127)
+    ar = ar[:, :_MFK]
+    ai = ai[:, :_MFK]
 
-    def pick(k0, k1, k2):
-        a = jnp.where(lane < t1, gam_ref[:, k0 : k0 + 1], gam_ref[:, k1 : k1 + 1])
-        return jnp.where(lane < t2, a, gam_ref[:, k2 : k2 + 1])
-
-    gre = pick(0, 1, 2)
-    gim = pick(3, 4, 5)
-    zr = chr_ * gre - chi_ * gim  # (rows, 896)
-    zi = chr_ * gim + chi_ * gre
-    ar = zr[0:sb_blk, :]
-    ai = zi[0:sb_blk, :]
-    for m in range(1, n_terms):
-        ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
-        ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
-
-    # ---- 3. carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
+    # ---- carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
     # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]
     car = car_ref[:, :]
     wrre = car[:, 14:142]
@@ -249,7 +279,7 @@ def _survivor_kernel(sb_blk: int, n_terms: int, mf_mode: str, exact3: bool,
     fr = ar * w_re - ai * w_im
     fi = ar * w_im + ai * w_re
 
-    # ---- 4. matched filter + shared tail (re/im stacked: one matmul) ------
+    # ---- matched filter + shared tail (re/im stacked: one matmul) ------
     AB = _dot_mf(jnp.concatenate([fr, fi], axis=0), m_ref[:, :], m_h, m_l,
                  mf_mode)
     A = AB[:sb_blk, :]
@@ -264,15 +294,16 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
                     interpret: bool | None = None,
                     fast_math: bool = False,
                     sb_blk: int = 128,
-                    terms: jnp.ndarray | None = None
+                    terms: tuple[int, ...] | None = None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate S prefiltered candidates of one window (vmap-batchable).
 
     c: (N,) complex64 analytic window. freqs: static tuple or FreqTables.
     pos_s/f_idx/p_idx: (S,) int32, S a multiple of sb_blk.
-    terms (S, T) int32 optionally lists each survivor's active frame
-    offsets (see survivor_params) — the tiered path: a pattern-p batch only
-    pays for its T = popcount(mask_p) frames instead of 6.
+    terms optionally lists the survivors' active frame offsets as a STATIC
+    tuple (the tiered path: a pattern-p batch only pays for its
+    popcount(mask_p) frames instead of 6; every survivor in the call must
+    share the pattern).
     Returns (softbits (S, 128) f32, nbadsync (S,) int32).
     """
     if interpret is None:
@@ -288,7 +319,8 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     S = pos_s.shape[0]
     assert S % sb_blk == 0, (S, sb_blk)
     nstep = S // sb_blk
-    n_terms = _M if terms is None else terms.shape[1]
+    m_list = tuple(range(_M)) if terms is None else tuple(terms)
+    n_terms = len(m_list)
 
     ints, gam, car = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
 
@@ -318,7 +350,7 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
 
     mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     exact3 = not interpret
-    kernel = functools.partial(_survivor_kernel, sb_blk, n_terms, mf_mode,
+    kernel = functools.partial(_survivor_kernel, sb_blk, m_list, mf_mode,
                                exact3)
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -327,7 +359,7 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         kernel,
         grid=(nstep,),
         in_specs=[
-            const(_CROWS, 2048),  # sliding window matrix re|im
+            const(4 * _CROWS, 2048),  # offset-class sliding matrices re|im
             pl.BlockSpec((sb_blk, 384), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # carrier factors
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
@@ -358,7 +390,7 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
 
 
 def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx,
-                        terms=None):
+                        terms: tuple[int, ...] | None = None):
     """Pure-jnp reference of the gamma-factorized survivor demod (same math
     as the kernel up to float association; used for parity tests and as the
     non-Pallas fallback when a prefilter is configured off-TPU)."""
@@ -370,20 +402,24 @@ def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx,
         W = jnp.asarray(t.W)
         chi = jnp.asarray(t.chi[0])
 
+    m_list = tuple(range(_M)) if terms is None else tuple(terms)
     ints, gam, _ = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
-    ext = jnp.concatenate([c, c, c[:_CHUNK]])
-    start = ints[..., 0] * 128 + ints[..., 1]  # (S, 6)
-    idx = start[..., None] + jnp.arange(_CHUNK)[None, None, :]
-    ch = ext[idx]  # (S, 6, 1024) complex
+    ext = jnp.concatenate([c, c, c[:_CHUNK], jnp.zeros((_OFFS[-1],), c.dtype)])
+    offs = np.array([_OFFS[_term_geometry(m)[1]] for m in m_list], np.int32)
+    start_al = ints[..., 0] * 128 + offs[None, :]  # (S, T) = start_m - r0
+    idx = start_al[..., None] + jnp.arange(_CHUNK)[None, None, :]
+    ch = ext[idx]  # (S, T, 1024) complex
     lane = jnp.arange(_CHUNK)[None, None, :]
     k = ((lane >= ints[..., 2:3]).astype(jnp.int32)
-         + (lane >= ints[..., 3:4]).astype(jnp.int32))  # (S, 6, 1024)
+         + (lane >= ints[..., 3:4]).astype(jnp.int32))  # (S, T, 1024)
     gre = jnp.take_along_axis(gam[..., 0:3], k[..., :], axis=-1)
     gim = jnp.take_along_axis(gam[..., 3:6], k[..., :], axis=-1)
     g = jax.lax.complex(gre, gim)
-    frame = jnp.sum(ch * g, axis=1)  # (S, 1024)
-    frame = frame * W[f_idx, :_CHUNK]
-    frame = frame[:, : C.FRAME_LEN]
+    summed = jnp.sum(ch * g, axis=1)  # (S, 1024), aligned at start - r0
+    r0 = ints[:, 0, 1]  # (S,)
+    lam = r0[:, None] + jnp.arange(C.FRAME_LEN)[None, :]
+    frame = jnp.take_along_axis(summed, lam, axis=1)  # (S, 864)
+    frame = frame * W[f_idx, : C.FRAME_LEN]
 
     from .softbits import demod
 

@@ -324,7 +324,7 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
             offs = np.cumsum([0] + seg_sizes)
             sb_parts, nbad_parts = [], []
             for p in range(pos.shape[1]):
-                tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+                tl = tuple(int(x) for x in np.nonzero(C.PATTERN_MASKS[p])[0])
                 sl = slice(int(offs[p]), int(offs[p + 1]))
                 n = seg_sizes[p]
                 npad = -n % 8
@@ -332,11 +332,9 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
                 def padz(a):
                     return jnp.pad(a[sl], (0, npad))
 
-                terms = jnp.broadcast_to(
-                    jnp.asarray(tl, jnp.int32), (n + npad, len(tl)))
                 sbp, nbp = pallas_survivor.demod_survivors(
                     c, freqs, padz(pos_f), padz(f_idx), padz(p_idx),
-                    fast_math=cfg.fast_math, sb_blk=n + npad, terms=terms)
+                    fast_math=cfg.fast_math, sb_blk=n + npad, terms=tl)
                 sb_parts.append(sbp[:n])
                 nbad_parts.append(nbp[:n])
             sb_f = jnp.concatenate(sb_parts)

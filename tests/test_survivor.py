@@ -78,17 +78,15 @@ class TestGammaMath:
 
         for p in (0, 2, 5, 6):  # incl. a gap pattern
             n = 16
-            tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+            tl = tuple(int(x) for x in np.nonzero(C.PATTERN_MASKS[p])[0])
             pp = jnp.full((n,), p, jnp.int32)
             ps = pos_s[:n]
             fi = f_idx[:n]
-            terms = jnp.broadcast_to(jnp.asarray(tl, jnp.int32),
-                                     (n, len(tl)))
             sb_flat, nb_flat = pallas_survivor.demod_survivors(
                 window, FREQS, ps, fi, pp, interpret=True, sb_blk=n)
             sb_t, nb_t = pallas_survivor.demod_survivors(
                 window, FREQS, ps, fi, pp, interpret=True, sb_blk=n,
-                terms=terms)
+                terms=tl)
             np.testing.assert_array_equal(np.asarray(nb_t),
                                           np.asarray(nb_flat))
             np.testing.assert_allclose(np.asarray(sb_t),

@@ -41,15 +41,14 @@ offs = np.cumsum([0] + seg_sizes)
 def tiered_demod(w, pp, ff, qq):
     sb_parts, nbad_parts = [], []
     for p in range(P):
-        tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+        tl = tuple(int(x) for x in np.nonzero(C.PATTERN_MASKS[p])[0])
         sl = slice(int(offs[p]), int(offs[p + 1]))
         n = seg_sizes[p]
         npad = -n % 8
         padz = lambda a: jnp.pad(a[sl], (0, npad))
-        terms = jnp.broadcast_to(jnp.asarray(tl, jnp.int32), (n + npad, len(tl)))
         sbp, nbp = pallas_survivor.demod_survivors(
             w, freqs, padz(pp), padz(ff), padz(qq),
-            sb_blk=n + npad, terms=terms)
+            sb_blk=n + npad, terms=tl)
         sb_parts.append(sbp[:n])
         nbad_parts.append(nbp[:n])
     return jnp.concatenate(sb_parts), jnp.concatenate(nbad_parts)
