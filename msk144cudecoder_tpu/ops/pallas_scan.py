@@ -100,19 +100,53 @@ def _cmm(cr, ci, br, bi, mm_mode: str):
     return m1 + m2, m3 - m1 + m2
 
 
+_DNT = (((0,), (0,)), ((), ()))  # contract sublane dims: (L, N)^T @ (L, Ft)
+
+
+def _cmmT(planes, bops, mm_mode: str):
+    """conj(c) @ B via sublane-contracting dot_general on ROW-BUILT lag
+    planes (no gather, no in-kernel splits — both operands arrive pre-split;
+    see lag_planes/_b_operands). planes rows: [cr, ci, cd=cr-ci] (f32/fast)
+    or h/l pairs of those (split2); bops rows: [br, bi, bs=br+bi] likewise.
+    Same Karatsuba combination as _cmm."""
+    if mm_mode == "f32":
+        hi = jax.lax.Precision.HIGHEST
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=_DNT,
+            preferred_element_type=jnp.float32, precision=hi)
+        m1 = d(planes[0], bops[0])
+        m2 = d(planes[1], bops[1])
+        m3 = d(planes[2], bops[2])
+    else:
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=_DNT,
+            preferred_element_type=jnp.float32)
+        if mm_mode == "fast":
+            m1 = d(planes[0], bops[0])
+            m2 = d(planes[1], bops[1])
+            m3 = d(planes[2], bops[2])
+        else:  # split2: rows 2k = high, 2k+1 = low parts
+            def mm(k):
+                ah, al = planes[2 * k], planes[2 * k + 1]
+                bh, bl = bops[2 * k], bops[2 * k + 1]
+                return d(ah, bh) + d(ah, bl) + d(al, bh)
+            m1 = mm(0)
+            m2 = mm(1)
+            m3 = mm(2)
+    return m1 + m2, m3 - m1 + m2
+
+
 def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
-                 cmat_ri, bnd_ri,
+                 planes_ref, bnd_ri, bops_ref,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
     ft = b_re.shape[1]
 
-    # --- r = conj(cmat) @ B + wrap correction ---------------------------
-    # cmat/bnd pack [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
-    cr = cmat_ri[:, : C.SYNC_CORR_LEN]
-    ci = cmat_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
-    br, bi = b_re[:], b_im[:]
-    r_re, r_im = _cmm(cr, ci, br, bi, mm_mode)
+    # --- r = conj(c) @ B (transposed lag planes) + wrap correction ------
+    r_re, r_im = _cmmT(planes_ref, bops_ref, mm_mode)
 
+    # bnd packs [re | im] in one lane-padded buffer (42+42 <= 128 lanes)
+    br, bi = b_re[:], b_im[:]
     bdr = bnd_ri[:, : C.SYNC_CORR_LEN]
     bdi = bnd_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
     dr, di = _cmm(bdr, bdi, br, bi, mm_mode)  # (41, Ft)
@@ -199,14 +233,79 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
     xb_out[:, :] = jnp.sqrt(xb_out[:, :])
 
 
+_LROWS = 48  # lag-plane sublane pad: 42 taps -> multiple of 8 (zeros inert)
+
+
+def lag_planes(c: jnp.ndarray, mm_mode: str) -> jnp.ndarray:
+    """Transposed lag planes for _cmmT from one window (N,) complex.
+
+    Returns (3, 48, N) f32 [cr, ci, cd=cr-ci] for 'f32'/'fast' (cast to bf16
+    for 'fast'), or (6, 48, N) bf16 h/l split pairs for 'split2'. Row i of a
+    plane is ext[i : i+N] — 42 contiguous slice copies, NO gather (the
+    round-2 (N, 42) gather formulation cost 0.033 ms/win on v5e; this is
+    ~0.003, tools/_scan_mmT_probe.py). The earlier '42 stacked static
+    slices: 0.6 ms' measurement stacked COLUMNS (lane-strided scatter);
+    stacking rows is pure sublane-contiguous copies."""
+    ext = jnp.concatenate([c, c[: C.SYNC_CORR_LEN - 1]])
+    er = ext.real
+    ei = ext.imag
+    ed = er - ei
+
+    def rows(x):
+        m = jnp.stack([x[i : i + _N] for i in range(C.SYNC_CORR_LEN)])
+        return jnp.concatenate(
+            [m, jnp.zeros((_LROWS - C.SYNC_CORR_LEN, _N), m.dtype)], axis=0)
+
+    if mm_mode == "f32":
+        return jnp.stack([rows(er), rows(ei), rows(ed)])
+    if mm_mode == "fast":
+        return jnp.stack([rows(er), rows(ei), rows(ed)]).astype(jnp.bfloat16)
+    planes = []
+    for x in (er, ei, ed):
+        h, l = _split2_xla(x)
+        planes += [rows(h), rows(l)]
+    return jnp.stack(planes)
+
+
+def _split2_xla(x):
+    """2-way bf16 split OUTSIDE a Pallas kernel. The in-kernel idiom
+    `x - x.astype(bf16).astype(f32)` is folded to ZERO by XLA under
+    --xla_allow_excess_precision (this runtime sets it), silently dropping
+    the low part; lax.reduce_precision is a dedicated HLO the folding
+    cannot remove."""
+    hf = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    return hf.astype(jnp.bfloat16), (x - hf).astype(jnp.bfloat16)
+
+
+def _b_operands(B: np.ndarray | jnp.ndarray, mm_mode: str) -> jnp.ndarray:
+    """Matching B-side operands: rows [br, bi, bs=br+bi] (f32/fast) or their
+    h/l split pairs (split2), each padded to (48, Fp). B is the (42, Fp)
+    complex sync-template x carrier-tone table (possibly traced)."""
+    br = jnp.real(B).astype(jnp.float32)
+    bi = jnp.imag(B).astype(jnp.float32)
+    bs = br + bi
+
+    def pad(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((_LROWS - C.SYNC_CORR_LEN, x.shape[1]), x.dtype)])
+
+    if mm_mode == "f32":
+        return jnp.stack([pad(br), pad(bi), pad(bs)])
+    if mm_mode == "fast":
+        return jnp.stack([pad(br), pad(bi), pad(bs)]).astype(jnp.bfloat16)
+    ops = []
+    for x in (br, bi, bs):
+        h, l = _split2_xla(x)
+        ops += [pad(h), pad(l)]
+    return jnp.stack(ops)
+
+
 def lag_matrices(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(cmat_ri (..., N, 84), bnd_ri (..., 41, 84)) kernel operands from one
     window (N,) or a batch (B, N) of windows.
 
-    Kept as fancy-index gathers traced per window: measured alternatives
-    are worse on v5e (42 stacked static slices: 0.6 ms/win of data
-    formatting; one batched gather hoisted outside the decode vmap:
-    +0.23 ms/win of layout copies).
+    SUPERSEDED by lag_planes for the scan kernel (the (N, 42) gather costs
+    0.033 ms/win); kept for the boundary matrix and dev probes.
     """
     ext = jnp.concatenate([c, c[..., : C.SYNC_CORR_LEN - 1]], axis=-1)
     # gather the f32 planes, not the complex array: the complex gather's
@@ -215,7 +314,12 @@ def lag_matrices(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     ext_im = ext.imag
     idx = np.arange(_N)[:, None] + np.arange(C.SYNC_CORR_LEN)[None, :]
     cmat_ri = jnp.concatenate([ext_re[..., idx], ext_im[..., idx]], axis=-1)
+    return cmat_ri, bnd_matrix(c)
 
+
+def bnd_matrix(c: jnp.ndarray) -> jnp.ndarray:
+    """(..., 41, 84) wrapped-tap boundary matrix [re | im] (the cyclic-wrap
+    phase-correction operand; 41 x 42 gather, small)."""
     r = np.arange(C.SYNC_CORR_LEN - 1)[:, None]
     i = np.arange(C.SYNC_CORR_LEN)[None, :]
     wrapped = i >= (C.SYNC_CORR_LEN - 1) - r
@@ -223,16 +327,14 @@ def lag_matrices(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     wr = jnp.asarray(wrapped)
     c_re = c.real
     c_im = c.imag
-    bnd_ri = jnp.concatenate([jnp.where(wr, c_re[..., bidx], 0.0),
-                              jnp.where(wr, c_im[..., bidx], 0.0)], axis=-1)
-    return cmat_ri, bnd_ri
+    return jnp.concatenate([jnp.where(wr, c_re[..., bidx], 0.0),
+                            jnp.where(wr, c_im[..., bidx], 0.0)], axis=-1)
 
 
 def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
                 interpret: bool | None = None,
                 fast_math: bool = False,
                 num_cand: int = _NC,
-                lag_ri: tuple[jnp.ndarray, jnp.ndarray] | None = None
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
@@ -240,8 +342,6 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     (pos, xb) each (F, scan_depth, k), F unpadded (k = num_cand, the
     cfg.candidates_per_pattern knob; reference fixes 8, common.h:34).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
-    lag_ri: optional precomputed (cmat_ri, bnd_ri) [re|im] operands from
-    lag_matrices(c) — for callers that reuse them across calls.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -267,10 +367,10 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     E = pad_f(t.E, 1)
     chi = pad_f(t.chi, 1)
 
-    if lag_ri is None:
-        cmat_ri, bnd_ri = lag_matrices(c)
-    else:
-        cmat_ri, bnd_ri = lag_ri
+    mm_mode = "f32" if interpret else ("fast" if fast_math else "split2")
+    planes = lag_planes(c, mm_mode)
+    bops = _b_operands(B, mm_mode)
+    bnd_ri = bnd_matrix(c)
 
     n_tiles = fp // _F_TILE
     grid = (n_tiles,)
@@ -282,11 +382,14 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         return pl.BlockSpec((rows, C.SYNC_CORR_LEN), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    nplanes = planes.shape[0]
     in_specs = [
-        pl.BlockSpec((_N, 2 * C.SYNC_CORR_LEN), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),   # cmat [re|im]
+        pl.BlockSpec((nplanes, _LROWS, _N), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),   # transposed lag planes
         pl.BlockSpec((C.SYNC_CORR_LEN - 1, 2 * C.SYNC_CORR_LEN),
                      lambda i: (0, 0), memory_space=pltpu.VMEM),  # bnd [re|im]
+        pl.BlockSpec((nplanes, _LROWS, _F_TILE), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),   # B-side operands
         tile_spec(C.SYNC_CORR_LEN),     # B re
         tile_spec(C.SYNC_CORR_LEN),     # B im
         tile_spec(_N),                  # E re
@@ -306,7 +409,6 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
 
-    mm_mode = "f32" if interpret else ("fast" if fast_math else "split2")
     kernel = functools.partial(_scan_kernel, scan_depth, num_cand, mm_mode)
     pos, xb = pl.pallas_call(
         kernel,
@@ -318,7 +420,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        cmat_ri, bnd_ri,
+        planes, bnd_ri, bops,
         B.real, B.imag, E.real, E.imag, chi.real, chi.imag,
     )
     pos = pos.reshape(scan_depth, num_cand, fp).transpose(2, 0, 1)

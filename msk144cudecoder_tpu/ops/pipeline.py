@@ -260,7 +260,6 @@ def resolve_use_pallas(cfg: DecoderConfig) -> bool:
 
 def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
                          chan_valid: jnp.ndarray | None = None,
-                         lag_ri: tuple[jnp.ndarray, jnp.ndarray] | None = None,
                          ) -> WindowDecodeResult:
     """One analytic window (5184,) complex64 -> fixed-shape decode results.
 
@@ -282,8 +281,7 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
                                           fast_math=cfg.fast_math,
-                                          num_cand=cfg.candidates_per_pattern,
-                                          lag_ri=lag_ri)
+                                          num_cand=cfg.candidates_per_pattern)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth,
                             num_cand=cfg.candidates_per_pattern)  # (F, P, k)
@@ -483,20 +481,15 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     )
 
 
-def decode_window(c: jnp.ndarray, cfg: DecoderConfig,
-                  lag_ri=None) -> WindowDecodeResult:
+def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
     """Single-device decode: frequency tables are jit-constants from cfg."""
-    return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg,
-                                lag_ri=lag_ri)
+    return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
     """Jitted: batch of raw windows (B, raw_len) -> batched results."""
     c = preprocess(raw, cfg)
-    # (hoisting the scan lag-matrix gather out of the vmap as one batched
-    # gather was measured WORSE on v5e: 0.70 vs 0.47 ms/win — XLA lowers
-    # the per-window form better; see pallas_scan.lag_matrices)
     return jax.vmap(lambda w: decode_window(w, cfg))(c)
 
 

@@ -41,20 +41,14 @@ def _scan_kernel_abl(scan_depth, num_cand, prec, mode,
                      pos_out, xb_out):
     ft = b_re.shape[1]
 
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=prec)
-
     cr = cmat_ri[:, : C.SYNC_CORR_LEN]
     ci = cmat_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
     br, bi = b_re[:], b_im[:]
-    r_re = mm(cr, br) + mm(ci, bi)
-    r_im = mm(cr, bi) - mm(ci, br)
+    r_re, r_im = pallas_scan._cmm(cr, ci, br, bi, "split2")
 
     bdr = bnd_ri[:, : C.SYNC_CORR_LEN]
     bdi = bnd_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
-    dr = mm(bdr, br) + mm(bdi, bi)
-    di = mm(bdr, bi) - mm(bdi, br)
+    dr, di = pallas_scan._cmm(bdr, bdi, br, bi, "split2")
     xr, xi = chi_re[:], chi_im[:]
     corr_re = xr * dr - xi * di
     corr_im = xr * di + xi * dr
@@ -228,8 +222,7 @@ def scan_variant(cw, mode):
         jax.ShapeDtypeStruct((rows, fp), jnp.int32),
         jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
-    kernel = functools.partial(_scan_kernel_abl, P, 8,
-                               jax.lax.Precision.HIGHEST, mode)
+    kernel = functools.partial(_scan_kernel_abl, P, 8, None, mode)
     pos, xb = pl.pallas_call(
         kernel, grid=(n_tiles,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,

@@ -97,10 +97,12 @@ report("preprocess", loop_time(
     lambda r: (r + (jnp.sum(jnp.abs(pipeline.preprocess(r, cfg)))
                % 2.0).astype(jnp.int16)), raw))
 
-# 2a. lag-matrix prep alone
+# 2a. lag-plane prep alone (row-built transposed planes + bnd)
 def lag_step(cc):
-    cm, bd = jax.vmap(pallas_scan.lag_matrices)(cc)
-    return cc + (cm[:, 0, 0] % 1.0)[:, None].astype(jnp.complex64) * 1e-20
+    pls = jax.vmap(lambda w: pallas_scan.lag_planes(w, "split2"))(cc)
+    bd = jax.vmap(pallas_scan.bnd_matrix)(cc)
+    return cc + ((pls[:, 0, 0, 0].astype(jnp.float32)
+                  + bd[:, 0, 0]) % 1.0)[:, None].astype(jnp.complex64) * 1e-20
 report("lag_prep", loop_time(lag_step, c))
 
 # 2b. scan (includes lag prep)
