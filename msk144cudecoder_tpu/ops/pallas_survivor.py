@@ -252,16 +252,20 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
             ai = ai + zi
 
     # ---- residual shift: ONE bit-decomposed lane-roll dance on the summed
-    # frames (r0 = pos % 128 is shared by every term of a survivor) --------
+    # frames (r0 = pos % 128 is shared by every term of a survivor). The
+    # re/im planes ride ONE row-stacked block so each level is one roll +
+    # one select instead of two (the dance is op-dispatch-bound; the stack
+    # copy is a single cheap pass) ----------------------------------------
     rcol = ints_ref[0:sb_blk, 1:2]
+    a2 = jnp.concatenate([ar, ai], axis=0)  # (2 SB, 1024)
+    take2 = jnp.concatenate([rcol, rcol], axis=0)
     for bit in (64, 32, 16, 8, 4, 2, 1):
-        take = (rcol & bit) != 0
-        ar = jnp.where(take, pltpu.roll(ar, _CHUNK - bit, 1), ar)
-        ai = jnp.where(take, pltpu.roll(ai, _CHUNK - bit, 1), ai)
+        take = (take2 & bit) != 0
+        a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
     # only lanes < _MFK survive into the matched filter (M rows >= 864 are
     # zero); the roll needed the full 1024 (sources span lanes up to 896+127)
-    ar = ar[:, :_MFK]
-    ai = ai[:, :_MFK]
+    ar = a2[:sb_blk, :_MFK]
+    ai = a2[sb_blk:, :_MFK]
 
     # ---- carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
     # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]

@@ -1,9 +1,7 @@
-"""Ablation timing of the survivor-demod kernel on TPU (dev probe).
-
-Times the tiered demod with pieces disabled (same shapes): the one-hot chunk
-extraction, the 7-level residual roll dance, the gamma mix, the carrier, the
-matched filter. Attribution by difference against full.
-"""
+"""Ablation timing of the (round-3 offset-class) survivor-demod kernel on
+TPU (dev probe). Variants disable pieces with shapes unchanged: the one-hot
+chunk extraction, the per-term gamma mix, the post-sum residual roll, the
+carrier, the matched filter. Attribution by difference against full."""
 import functools
 import sys, time
 import numpy as np, jax
@@ -14,14 +12,13 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, ".")
 from msk144cudecoder_tpu import constants as C
 from msk144cudecoder_tpu.config import DecoderConfig
-from msk144cudecoder_tpu.ops import pipeline, pallas_scan, pallas_survivor
+from msk144cudecoder_tpu.ops import pipeline, pallas_scan, pallas_survivor as PS
 from msk144cudecoder_tpu.ops.pallas_demod import (_dot_mf, _dot_onehot,
                                                   _lane_masks, _mf_matrix,
                                                   mf_tail)
 from msk144cudecoder_tpu.ops.tables import cached_freq_tables
 
 _N = C.WINDOW_LEN
-_M = C.PATTERN_LEN
 _CHUNK = 1024
 _MFK = 896
 _CROWS = 96
@@ -47,56 +44,57 @@ seg_sizes = pipeline.split_quota(PRE, P)
 offs = np.cumsum([0] + seg_sizes)
 
 
-def _survivor_kernel_abl(sb_blk, n_terms, mode,
-                         c_ri, car_ref, ints_ref, gam_ref,
-                         m_ref, m_h, m_l, masks_ref,
-                         sb_out, nbad_out):
-    rows = n_terms * sb_blk
-    mf_mode = "exact3"
+def _kernel_abl(sb_blk, m_list, mode,
+                c_ri, car_ref, ints_ref, gam_ref,
+                m_ref, m_h, m_l, masks_ref,
+                sb_out, nbad_out):
+    n_terms = len(m_list)
+    lane96 = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CROWS), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CHUNK), 1)
+    ar = ai = None
+    for j, m in enumerate(m_list):
+        rs = slice(j * sb_blk, (j + 1) * sb_blk)
+        cls = PS._term_geometry(m)[1]
+        qcol = ints_ref[rs, 0:1]
+        if mode == "noextract":
+            ch = jnp.broadcast_to(c_ri[0:1, :], (sb_blk, 2048)) * (
+                qcol.astype(jnp.float32) * 1e-20 + 1.0)
+        else:
+            oh = jnp.where(qcol == lane96, 1.0, 0.0)
+            ch = _dot_onehot(oh, c_ri[cls * _CROWS:(cls + 1) * _CROWS, :],
+                             True)
+        chr_ = ch[:, :_CHUNK]
+        chi_ = ch[:, _CHUNK:]
+        if mode == "nomix":
+            zr = chr_ * gam_ref[rs, 0:1]
+            zi = chi_ * gam_ref[rs, 3:4]
+        else:
+            t1 = ints_ref[rs, 2:3]
+            t2 = ints_ref[rs, 3:4]
+            g = gam_ref[rs, :]
 
-    qcol = ints_ref[:, 0:1]
-    if mode == "noextract":
-        ch = jnp.broadcast_to(c_ri[0:1, :], (rows, 2048)) * (
-            qcol.astype(jnp.float32) * 1e-20 + 1.0)
-    else:
-        lane96 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CROWS), 1)
-        oh = jnp.where(qcol == lane96, 1.0, 0.0)
-        ch = _dot_onehot(oh, c_ri[:, :], True)
-    chr_ = ch[:, :_CHUNK]
-    chi_ = ch[:, _CHUNK:]
+            def pick(k0, k1, k2):
+                a = jnp.where(lane < t1, g[:, k0:k0 + 1], g[:, k1:k1 + 1])
+                return jnp.where(lane < t2, a, g[:, k2:k2 + 1])
+
+            gre = pick(0, 1, 2)
+            gim = pick(3, 4, 5)
+            zr = chr_ * gre - chi_ * gim
+            zi = chr_ * gim + chi_ * gre
+        if ar is None:
+            ar, ai = zr, zi
+        else:
+            ar = ar + zr
+            ai = ai + zi
 
     if mode != "noroll":
-        rcol = ints_ref[:, 1:2]
+        rcol = ints_ref[0:sb_blk, 1:2]
         for bit in (64, 32, 16, 8, 4, 2, 1):
             take = (rcol & bit) != 0
-            chr_ = jnp.where(take, pltpu.roll(chr_, _CHUNK - bit, 1), chr_)
-            chi_ = jnp.where(take, pltpu.roll(chi_, _CHUNK - bit, 1), chi_)
-
-    chr_ = chr_[:, :_MFK]
-    chi_ = chi_[:, :_MFK]
-
-    if mode == "nomix":
-        zr = chr_ * gam_ref[:, 0:1]
-        zi = chi_ * gam_ref[:, 3:4]
-    else:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _MFK), 1)
-        t1 = ints_ref[:, 2:3]
-        t2 = ints_ref[:, 3:4]
-
-        def pick(k0, k1, k2):
-            a = jnp.where(lane < t1, gam_ref[:, k0 : k0 + 1],
-                          gam_ref[:, k1 : k1 + 1])
-            return jnp.where(lane < t2, a, gam_ref[:, k2 : k2 + 1])
-
-        gre = pick(0, 1, 2)
-        gim = pick(3, 4, 5)
-        zr = chr_ * gre - chi_ * gim
-        zi = chr_ * gim + chi_ * gre
-    ar = zr[0:sb_blk, :]
-    ai = zi[0:sb_blk, :]
-    for m in range(1, n_terms):
-        ar = ar + zr[m * sb_blk : (m + 1) * sb_blk, :]
-        ai = ai + zi[m * sb_blk : (m + 1) * sb_blk, :]
+            ar = jnp.where(take, pltpu.roll(ar, _CHUNK - bit, 1), ar)
+            ai = jnp.where(take, pltpu.roll(ai, _CHUNK - bit, 1), ai)
+    ar = ar[:, :_MFK]
+    ai = ai[:, :_MFK]
 
     if mode == "nocarrier":
         fr, fi = ar, ai
@@ -106,8 +104,8 @@ def _survivor_kernel_abl(sb_blk, n_terms, mode,
         wrim = car[:, 142:270]
         wbr, wbi = [], []
         for j in range(_MFK // 128):
-            qr = car[:, j : j + 1]
-            qi = car[:, 7 + j : 8 + j]
+            qr = car[:, j:j + 1]
+            qi = car[:, 7 + j:8 + j]
             wbr.append(qr * wrre - qi * wrim)
             wbi.append(qr * wrim + qi * wrre)
         w_re = jnp.concatenate(wbr, axis=1)
@@ -120,7 +118,7 @@ def _survivor_kernel_abl(sb_blk, n_terms, mode,
         nbad_out[:, 0:1] = jnp.zeros((sb_blk, 1), jnp.int32)
         return
     AB = _dot_mf(jnp.concatenate([fr, fi], axis=0), m_ref[:, :], m_h, m_l,
-                 mf_mode)
+                 "exact3")
     A = AB[:sb_blk, :]
     Bm = AB[sb_blk:, :]
     sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
@@ -134,9 +132,9 @@ def demod_variant(cw, pos_s, fi_, pi_, sb_blk, terms, mode):
     chi = jnp.asarray(t.chi[0])
     S = pos_s.shape[0]
     nstep = S // sb_blk
-    n_terms = terms.shape[1]
-    ints, gam, car = pallas_survivor.survivor_params(pos_s, fi_, pi_, W, chi,
-                                                     terms)
+    m_list = terms
+    n_terms = len(m_list)
+    ints, gam, car = PS.survivor_params(pos_s, fi_, pi_, W, chi, terms)
 
     def rows_mmajor(a):
         cols = a.shape[-1]
@@ -151,14 +149,14 @@ def demod_variant(cw, pos_s, fi_, pi_, sb_blk, terms, mode):
     ints_rows = pad128(rows_mmajor(ints))
     gam_rows = pad128(rows_mmajor(gam))
     car_rows = pad128(car)
-    c_ri = pallas_survivor._ext_window(cw)
+    c_ri = PS._ext_window(cw)
     M = _mf_matrix()
     mh = M.astype(np.float32).astype(jnp.bfloat16)
     ml = (M - np.asarray(mh, np.float32)).astype(jnp.bfloat16)
     even, in144, ssign = _lane_masks()
     masks = np.concatenate([even, in144, ssign], axis=0)
     masks = np.concatenate([masks, np.zeros((5, 256), np.float32)], axis=0)
-    kernel = functools.partial(_survivor_kernel_abl, sb_blk, n_terms, mode)
+    kernel = functools.partial(_kernel_abl, sb_blk, m_list, mode)
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
     rows = n_terms * sb_blk
@@ -166,7 +164,7 @@ def demod_variant(cw, pos_s, fi_, pi_, sb_blk, terms, mode):
         kernel,
         grid=(nstep,),
         in_specs=[
-            const(_CROWS, 2048),
+            const(4 * _CROWS, 2048),
             pl.BlockSpec((sb_blk, 384), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
@@ -196,15 +194,13 @@ def demod_variant(cw, pos_s, fi_, pi_, sb_blk, terms, mode):
 def tiered(cw, pp, ff, qq, mode):
     sb_parts, nbad_parts = [], []
     for p in range(P):
-        tl = np.nonzero(C.PATTERN_MASKS[p])[0]
+        tl = tuple(int(x) for x in np.nonzero(C.PATTERN_MASKS[p])[0])
         sl = slice(int(offs[p]), int(offs[p + 1]))
         n = seg_sizes[p]
         npad = -n % 8
         padz = lambda a: jnp.pad(a[sl], (0, npad))
-        terms = jnp.broadcast_to(jnp.asarray(tl, jnp.int32),
-                                 (n + npad, len(tl)))
         sbp, nbp = demod_variant(cw, padz(pp), padz(ff), padz(qq),
-                                 n + npad, terms, mode)
+                                 n + npad, tl, mode)
         sb_parts.append(sbp[:n])
         nbad_parts.append(nbp[:n])
     return jnp.concatenate(sb_parts), jnp.concatenate(nbad_parts)
@@ -236,13 +232,17 @@ for mode in ("full", "noroll", "noextract", "nomix", "nocarrier", "nomf"):
     t = loop_time(step, pos_f, (c, f_idx, p_idx))
     print(f"demod[{mode:10s}] {t/B*1e3:7.3f} ms/win", flush=True)
 
-# params-prep alone
+# params-prep + ext-window alone
 def params_step(p_, f_, q_):
     t = cached_freq_tables(freqs)
     W = jnp.asarray(t.W)
     chi = jnp.asarray(t.chi[0])
-    out = jax.vmap(lambda pp, ff, qq: pallas_survivor.survivor_params(
+    out = jax.vmap(lambda pp, ff, qq: PS.survivor_params(
         pp, ff, qq, W, chi, None)[1])(p_, f_, q_)
     return p_ + (out[:, 0, 0, 0] % 2.0).astype(jnp.int32)[:, None]
 print(f"params_prep      {loop_time(params_step, pos_f, (f_idx, p_idx))/B*1e3:7.3f} ms/win",
       flush=True)
+def ext_step(cc):
+    r = jax.vmap(PS._ext_window)(cc)
+    return cc + (r[:, 0, 0] % 1.0)[:, None].astype(jnp.complex64) * 1e-20
+print(f"ext_window       {loop_time(ext_step, c)/B*1e3:7.3f} ms/win", flush=True)
