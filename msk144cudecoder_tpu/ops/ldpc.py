@@ -93,9 +93,21 @@ def _tables() -> dict:
         "jmod": jmod,
         "SEL_BIT": SEL_BIT,
         "SEL_SLOT": SEL_SLOT,
+        "SEL_SUM": SEL_SLOT.sum(axis=0),  # (418, 128): <=3 ones per column
         "COUNT_M": COUNT_M,
         "CRC_M": crc_mod.CRC_MATRIX.T.astype(np.float32),  # (77, 13)
     }
+
+
+def split3_xla(x):
+    """Exact 3-way bf16-valued f32 split (x == h + m + l, 3x8 mantissa bits)
+    built on lax.reduce_precision — the astype(bf16).astype(f32) idiom is
+    folded to identity under --xla_allow_excess_precision, which would
+    silently zero the low parts (see pallas_scan._split2_xla)."""
+    h = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r1 = x - h
+    m = jax.lax.reduce_precision(r1, exponent_bits=8, mantissa_bits=7)
+    return h, m, r1 - m
 
 
 def platanh(x: jnp.ndarray) -> jnp.ndarray:
@@ -150,10 +162,7 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
     edge_valid_f = jnp.asarray(tbl["edge_valid_f"])  # (418,) {0,1}
     jmod = jnp.asarray(tbl["jmod"])  # (418,)
     SEL_BIT = jnp.asarray(tbl["SEL_BIT"])  # (128, 418)
-    # one wide matmul for the three slot selections (better MXU utilization
-    # than three narrow ones); the slot sums stay slot-ordered f32 adds
-    SEL_SLOT_W = jnp.asarray(
-        np.concatenate(list(tbl["SEL_SLOT"]), axis=1))  # (418, 384)
+    SEL_SUM = jnp.asarray(tbl["SEL_SUM"])  # (418, 128)
     COUNT_M = jnp.asarray(tbl["COUNT_M"])  # (128, 38)
     CRC_M = jnp.asarray(tbl["CRC_M"])
 
@@ -175,12 +184,18 @@ def bp_decode(llr: jnp.ndarray, valid: jnp.ndarray, max_iters: int = C.NUM_BP_IT
 
     def body(it, state):
         tov_e, found, cw_s, iter_s, nerr_s = state  # tov_e (K, 418) edges
-        # per-bit sum of the 3 incident check messages: slot-separated
-        # one-hot copies added in slot order (bit-identical to a slot-major
-        # layout; a single SUMMING matmul would re-associate the f32 adds,
-        # but one WIDE matmul of the three selectors keeps each copy exact)
-        zs = jnp.matmul(tov_e, SEL_SLOT_W, precision=_EXACT_SEL)  # (K, 384)
-        zn = ((llr + zs[:, 0:128]) + zs[:, 128:256]) + zs[:, 256:384]
+        # per-bit sum of the <=3 incident check messages via ONE summing
+        # matmul per bf16 split part (3 matmuls, was 9 as slot-separated
+        # exact copies). Exactness shape: each part's products are exact
+        # (bf16-valued f32 x 0/1) and the f32 accumulator adds the <=3
+        # nonzero terms in contraction order — the SAME order the Pallas
+        # kernel's MXU accumulates, so kernel/jnp bit-identity holds; the
+        # split-part grouping (h-sum + m-sum + l-sum) replaces the old
+        # slot-order grouping, an ulp-level reassociation.
+        th, tm, tl = split3_xla(tov_e)
+        zn = llr
+        for part in (th, tm, tl):
+            zn = zn + jnp.matmul(part, SEL_SUM, precision=_EXACT_SEL)
         cw, ok, nerr = check_stage(zn)
         newly = ok & (~found)
         cw_s = jnp.where(newly[:, None], cw.astype(jnp.int8), cw_s)

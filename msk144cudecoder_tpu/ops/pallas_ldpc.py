@@ -50,8 +50,8 @@ def _kernel_tables() -> dict:
     t = _tables()
     sel_bit = np.zeros((128, _EPAD), np.float32)
     sel_bit[:, :_NE] = t["SEL_BIT"]
-    sel_slot = np.zeros((3, _EPAD, 128), np.float32)
-    sel_slot[:, :_NE, :] = t["SEL_SLOT"]
+    sel_sum = np.zeros((_EPAD, 128), np.float32)
+    sel_sum[:_NE, :] = t["SEL_SUM"]
     count_m = np.zeros((128, 128), np.float32)
     count_m[:, : T.N_CHECKS] = t["COUNT_M"]
     crc_m = np.zeros((128, 128), np.float32)
@@ -67,9 +67,7 @@ def _kernel_tables() -> dict:
     masks[3, 77:90] = 1.0
     return {
         "SEL_BIT": sel_bit.astype(jnp.bfloat16),
-        "SEL_SLOT0": sel_slot[0].astype(jnp.bfloat16),
-        "SEL_SLOT1": sel_slot[1].astype(jnp.bfloat16),
-        "SEL_SLOT2": sel_slot[2].astype(jnp.bfloat16),
+        "SEL_SUM": sel_sum.astype(jnp.bfloat16),
         "COUNT_M": count_m.astype(jnp.bfloat16),
         "CRC_M": crc_m.astype(jnp.bfloat16),
         "MASKS": masks,
@@ -99,14 +97,14 @@ def _sel_dot(x, sel_bf16):
 
 def _bp_kernel(max_iters: int,
                llr_ref, valid_ref,
-               sel_bit, sel_s0, sel_s1, sel_s2, count_m, crc_m, masks_ref,
+               sel_bit, sel_sum_r, count_m, crc_m, masks_ref,
                cw_out, meta_out,
                tov_ref, state_ref):
     llr = llr_ref[:, :]
     k = llr.shape[0]
     valid = valid_ref[:, 0:1] != 0  # (K, 1)
     sel_bit = sel_bit[:, :]
-    sel_slots = (sel_s0[:, :], sel_s1[:, :], sel_s2[:, :])
+    sel_sum = sel_sum_r[:, :]
     count_m = count_m[:, :]
     crc_m = crc_m[:, :]
     edge_valid = masks_ref[0:1, :] != 0.0
@@ -125,11 +123,14 @@ def _bp_kernel(max_iters: int,
 
     def body(it, _):
         tov_e = tov_ref[:, :]  # (K, 512) edge layout
-        # slot-separated one-hot copies, added in slot order (bit-identical
-        # to the slot-major form; see ops/ldpc.py)
+        # per-bit sums of the <=3 incident messages: one summing matmul per
+        # bf16 split part (3 matmuls, was 9 slot-separated; padded edge
+        # columns are all-zero). Mirrors ops/ldpc.py body() exactly — the
+        # MXU's f32 accumulator adds the <=3 exact products in contraction
+        # order, same as XLA's dot on the jnp path.
         zn = llr
-        for sel_k in sel_slots:
-            zn = zn + _sel_dot(tov_e, sel_k)
+        for part in _split3(tov_e):
+            zn = zn + _dot_bf16(part, sel_sum)
         cw = (zn > 0.0).astype(jnp.float32)  # (K, 128) 0/1
 
         # parity + CRC gates (single-pass bf16: 0/1 operands, exact)
@@ -205,7 +206,7 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     cw, meta = pl.pallas_call(
         kernel,
-        in_specs=[vspec] * 9,
+        in_specs=[vspec] * 7,
         out_specs=[vspec, vspec],
         out_shape=[
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
@@ -218,9 +219,8 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SLOT0"], tbl["SEL_SLOT1"],
-      tbl["SEL_SLOT2"], tbl["COUNT_M"], tbl["CRC_M"],
-      jnp.asarray(tbl["MASKS"]))
+    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SUM"], tbl["COUNT_M"],
+      tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
 
     return BPResult(
         found=meta[:, 0] != 0.0,
