@@ -177,6 +177,14 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
         return rolled(q_re, q_im, 864 * m)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SLICES, ft), 0)
+    # packed slice-max key: |s|^2 >= 0, so its int32 bitcast is
+    # order-isomorphic; the low 8 mantissa bits carry the INVERTED in-slice
+    # lag (255 - lag), so one int max yields (quantized max, argmax) in a
+    # single reduction pass — inverted so quantized ties resolve to the
+    # SMALLEST lag, matching jnp.argmax-first semantics. Metric quantization
+    # is <= 2^-16 relative on |s|^2 (<= 2^-17 on xb), far inside the
+    # slice-max gaps the ranking depends on.
+    inv_lag = 255 - jax.lax.broadcasted_iota(jnp.int32, (_SLICE, ft), 0)
 
     def select(s_re, s_im, p: int):
         """Slice-max + top-8 for pattern p; writes pos/xb output rows.
@@ -187,28 +195,30 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
         # (5376, ft) -> (21, 256, ft))
         pad = xb[: C.SCAN_PAD_LEN - _N, :]
         xbp = jnp.concatenate([xb, pad], axis=0)  # (5376, Ft)
-        maxs, args = [], []
+        maxs = []
         for s in range(_SLICES):
             seg = xbp[s * _SLICE : (s + 1) * _SLICE, :]  # (256, Ft)
-            maxs.append(jnp.max(seg, axis=0, keepdims=True))
-            args.append(jnp.argmax(seg, axis=0).astype(jnp.int32)[None, :])
-        smax = jnp.concatenate(maxs, axis=0)  # (21, Ft)
-        sarg = jnp.concatenate(args, axis=0)  # (21, Ft)
+            key = jax.lax.bitcast_convert_type(seg, jnp.int32)
+            key = (key & ~255) | inv_lag
+            maxs.append(jnp.max(key, axis=0, keepdims=True))
+        smax = jnp.concatenate(maxs, axis=0)  # (21, Ft) packed int keys
 
         # top-k slices per freq (descending xb): repeated max + mask-out
+        # (Mosaic argmax is f32-only; equality + min-index keeps argmax-first
+        # semantics on the int keys — all ops here are on (21, Ft))
         cur = smax
         for k in range(num_cand):
-            best = jnp.max(cur, axis=0, keepdims=True)  # (1, Ft)
-            bslice = jnp.argmax(cur, axis=0).astype(jnp.int32)  # (Ft,)
-            # gather sarg[bslice, f] per lane via mask+reduce (no sublane
-            # gather primitive in Pallas TPU)
-            hit = lane_iota == bslice[None, :]
-            lag_in_slice = jnp.sum(jnp.where(hit, sarg, 0), axis=0)
+            best = jnp.max(cur, axis=0, keepdims=True)  # (1, Ft) packed
+            hit = cur == best
+            bslice = jnp.min(jnp.where(hit, lane_iota, _SLICES), axis=0)
+            chosen = hit & (lane_iota == bslice[None, :])
+            lag_in_slice = 255 - (best[0, :] & 255)
             pos = (bslice * _SLICE + lag_in_slice) % _N
             row = p * num_cand + k
             pos_out[row : row + 1, :] = pos[None, :]
-            xb_out[row : row + 1, :] = best
-            cur = jnp.where(hit, -1.0, cur)
+            xb_out[row : row + 1, :] = jax.lax.bitcast_convert_type(
+                best & ~255, jnp.float32)
+            cur = jnp.where(chosen, jnp.int32(-(2 ** 31)), cur)
 
     # prefix patterns 0..min(depth,6)-1; T_0 = q itself
     acc_re, acc_im = q_re, q_im
