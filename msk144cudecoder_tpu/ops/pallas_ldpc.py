@@ -186,14 +186,22 @@ def _bp_kernel(max_iters: int,
     meta_out[:, :] = state_ref[:, :]
 
 
+_ROW_CHUNK = 4096  # rows per grid step: VMEM ~25 MB of (chunk, 512) arrays
+
+
 def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
                      max_iters: int = C.NUM_BP_ITERATIONS,
                      interpret: bool | None = None) -> BPResult:
     """Drop-in replacement for ops.ldpc.bp_decode via one fused kernel.
 
     llr: (K, 128) float32; valid: (K,) bool. K must be a multiple of 8
-    (cfg.max_survivors always is). interpret=None: auto (interpreter off
-    TPU, compiled on TPU).
+    (cfg.max_survivors always is). Rows are fully independent, so callers
+    SHOULD flat-batch multiple windows' survivor batches into one call
+    (rows beyond _ROW_CHUNK tile onto the grid): the kernel body is
+    op-dispatch-bound (~45 vector ops x 10 iterations), and a vmap'd
+    per-window call re-pays that per window (measured 0.091 ms/win at
+    K=512 vmap'd vs ~0.03 flat-batched at batch 16 on v5e).
+    interpret=None: auto (interpreter off TPU, compiled on TPU).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -202,19 +210,27 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
     valid_col = jnp.broadcast_to(
         valid.astype(jnp.int32)[:, None], (k, 128))
 
+    chunk = min(k, _ROW_CHUNK)
+    if k % chunk:
+        chunk = k  # odd sizes: single step (callers keep k a power-of-2-ish)
+    nstep = k // chunk
+
     kernel = functools.partial(_bp_kernel, max_iters)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((chunk, 128), lambda s: (s, 0),
+                            memory_space=pltpu.VMEM)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
     cw, meta = pl.pallas_call(
         kernel,
-        in_specs=[vspec] * 7,
-        out_specs=[vspec, vspec],
+        grid=(nstep,),
+        in_specs=[row_spec, row_spec] + [const] * 5,
+        out_specs=[row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, _EPAD), jnp.float32),  # tov (edge layout)
-            pltpu.VMEM((k, 128), jnp.float32),  # found/iter/nerr state
+            pltpu.VMEM((chunk, _EPAD), jnp.float32),  # tov (edge layout)
+            pltpu.VMEM((chunk, 128), jnp.float32),  # found/iter/nerr state
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

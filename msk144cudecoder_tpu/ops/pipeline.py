@@ -258,10 +258,26 @@ def resolve_use_pallas(cfg: DecoderConfig) -> bool:
     return cfg.use_pallas
 
 
-def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
-                         chan_valid: jnp.ndarray | None = None,
-                         ) -> WindowDecodeResult:
-    """One analytic window (5184,) complex64 -> fixed-shape decode results.
+class PreparedWindow(NamedTuple):
+    """Per-window state between survivor selection and the BP stage (the
+    split point lets decode_raw flat-batch BP across the window batch: the
+    BP kernel is op-dispatch-bound, so B windows in one call cost ~1/B the
+    per-window overhead of a vmap'd call)."""
+
+    llr: jnp.ndarray  # (K, 128) f32
+    valid: jnp.ndarray  # (K,) bool
+    nbad_k: jnp.ndarray  # (K,) int32
+    xb_k: jnp.ndarray  # (K,) f32
+    pos_k: jnp.ndarray  # (K,) int32
+    cand_k: jnp.ndarray  # (K,) int32
+    num_survivors: jnp.ndarray  # () int32
+    block_power: jnp.ndarray  # (8,) f32
+
+
+def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
+                   chan_valid: jnp.ndarray | None = None) -> PreparedWindow:
+    """One analytic window (5184,) complex64 -> top-K survivor LLRs + meta
+    (everything before the LDPC stage).
 
     `freqs` is either a static tuple (single-device: tables become jit
     constants) or a tables.FreqTables of arrays (shard_map: each device gets
@@ -414,18 +430,33 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         pos_k = pos_f[top_idx]
         cand_k = cand_all[top_idx]
     valid = nbad_k <= cfg.nbadsync_threshold
+    return PreparedWindow(
+        llr=llr, valid=valid, nbad_k=nbad_k, xb_k=xb_k, pos_k=pos_k,
+        cand_k=cand_k,
+        num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
+        block_power=block_powers(c))
 
-    # Fused Pallas BP on TPU: the whole 10-iteration loop stays in VMEM.
-    # XLA's batched lowering round-trips every leave-one-out intermediate
-    # ((K, 418) x batch) through HBM and degrades with window batch
-    # (measured v5e at K=512: 0.13 ms/win at batch 16 -> 0.40 at batch 64;
-    # the kernel holds ~0.10 regardless — tools/_bp_bakeoff.py).
-    if use_pallas:
+
+def bp_stage(llr: jnp.ndarray, valid: jnp.ndarray, cfg: DecoderConfig):
+    """LDPC BP + CRC on a flat survivor batch (any number of windows' K-rows
+    stacked — rows are independent). Fused Pallas kernel on TPU: the whole
+    10-iteration loop stays in VMEM; XLA's batched lowering round-trips
+    every leave-one-out intermediate through HBM (tools/_bp_bakeoff.py)."""
+    if resolve_use_pallas(cfg):
         from . import pallas_ldpc
 
-        bp = pallas_ldpc.bp_decode_pallas(llr, valid)
-    else:
-        bp = ldpc.bp_decode(llr, valid)
+        return pallas_ldpc.bp_decode_pallas(llr, valid)
+    return ldpc.bp_decode(llr, valid)
+
+
+def finish_window(prep: PreparedWindow, bp, cfg: DecoderConfig
+                  ) -> WindowDecodeResult:
+    """Result compaction for one window from its prepared state + BP output."""
+    use_pallas = resolve_use_pallas(cfg)
+    llr = prep.llr
+    valid = prep.valid
+    nbad_k, xb_k, pos_k, cand_k = prep.nbad_k, prep.xb_k, prep.pos_k, prep.cand_k
+    k = llr.shape[0]
 
     # Device-side result compaction: keep only max_results slots, decodes
     # first (then best remaining survivors for diagnostics). The reference
@@ -463,8 +494,8 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
             pos=out[:, 81].astype(jnp.int32),
             ldpc_iterations=out[:, 83].astype(jnp.int32),
             hard_errors=out[:, 84].astype(jnp.int32),
-            num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
-            block_power=block_powers(c),
+            num_survivors=prep.num_survivors,
+            block_power=prep.block_power,
         )
     return WindowDecodeResult(
         cand_index=cand_k[sel],
@@ -476,9 +507,19 @@ def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         pos=pos_k[sel],
         ldpc_iterations=bp.iterations[sel],
         hard_errors=bp.hard_errors[sel],
-        num_survivors=(nbad_f <= cfg.nbadsync_threshold).sum().astype(jnp.int32),
-        block_power=block_powers(c),
+        num_survivors=prep.num_survivors,
+        block_power=prep.block_power,
     )
+
+
+def decode_window_tables(c: jnp.ndarray, freqs, cfg: DecoderConfig,
+                         chan_valid: jnp.ndarray | None = None,
+                         ) -> WindowDecodeResult:
+    """One analytic window -> fixed-shape decode results (prepare -> BP ->
+    finish; see prepare_window for the freqs/chan_valid contract)."""
+    prep = prepare_window(c, freqs, cfg, chan_valid)
+    bp = bp_stage(prep.llr, prep.valid, cfg)
+    return finish_window(prep, bp, cfg)
 
 
 def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
@@ -488,9 +529,20 @@ def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
-    """Jitted: batch of raw windows (B, raw_len) -> batched results."""
+    """Jitted: batch of raw windows (B, raw_len) -> batched results.
+
+    BP runs ONCE on the whole batch's survivors (B*K rows): its kernel is
+    op-dispatch-bound, so per-window (vmap'd) calls re-pay ~450 vector ops
+    per window (0.091 -> ~0.03 ms/win flat at batch 16 on v5e)."""
     c = preprocess(raw, cfg)
-    return jax.vmap(lambda w: decode_window(w, cfg))(c)
+    freqs = tuple(float(f) for f in cfg.freqs)
+    prep = jax.vmap(lambda w: prepare_window(w, freqs, cfg))(c)
+    b, k = prep.llr.shape[0], prep.llr.shape[1]
+    bp_flat = bp_stage(prep.llr.reshape(b * k, 128),
+                       prep.valid.reshape(b * k), cfg)
+    bp = jax.tree_util.tree_map(
+        lambda a: a.reshape((b, k) + a.shape[1:]), bp_flat)
+    return jax.vmap(lambda pr, bb: finish_window(pr, bb, cfg))(prep, bp)
 
 
 def raw_window_len(cfg: DecoderConfig) -> int:
