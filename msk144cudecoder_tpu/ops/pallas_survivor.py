@@ -214,28 +214,45 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi,
 
 
 def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
+                     win_blk: int,
                      c_ri, car_ref, ints_ref, gam_ref,
                      m_ref, m_h, m_l, masks_ref,
-                     sb_out, nbad_out):
+                     sb_out, nbad_out, ch_scr):
+    """One grid step = win_blk windows x sb_blk survivors (rows win-major
+    within each term block). Everything after extraction is row-parallel, so
+    stacking windows amortizes the kernel's op-dispatch overhead (the
+    dominant cost at sb_blk ~ 176: ~100 vector ops per (window, tier) when
+    win_blk = 1 — tools/_demod_ablate_r3.py)."""
     n_terms = len(m_list)
+    rows = win_blk * sb_blk
     lane96 = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CROWS), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK), 1)
 
-    # ---- per-term: one-hot extraction off the term's offset-class matrix,
-    # gamma-mix with wrap thresholds, accumulate the pattern sum -----------
+    # ---- per-term: one-hot extraction off the term's offset-class matrix
+    # (per window, into the scratch), gamma-mix with wrap thresholds on the
+    # stacked rows, accumulate the pattern sum -----------------------------
     ar = ai = None
     for j, m in enumerate(m_list):
-        rs = slice(j * sb_blk, (j + 1) * sb_blk)
+        base = j * rows
         cls = _term_geometry(m)[1]
-        qcol = ints_ref[rs, 0:1]  # (SB, 1): row in R_cls
-        oh = jnp.where(qcol == lane96, 1.0, 0.0)
-        ch = _dot_onehot(
-            oh, c_ri[cls * _CROWS : (cls + 1) * _CROWS, :], exact3)
+        for w in range(win_blk):
+            rs = slice(base + w * sb_blk, base + (w + 1) * sb_blk)
+            qcol = ints_ref[rs, 0:1]  # (SB, 1): row in window w's R_cls
+            oh = jnp.where(qcol == lane96, 1.0, 0.0)
+            blk = w * 4 * _CROWS + cls * _CROWS
+            ch_w = _dot_onehot(oh, c_ri[blk : blk + _CROWS, :], exact3)
+            if win_blk == 1:
+                ch = ch_w
+            else:
+                ch_scr[w * sb_blk : (w + 1) * sb_blk, :] = ch_w
+        if win_blk > 1:
+            ch = ch_scr[:, :]
         chr_ = ch[:, :_CHUNK]
         chi_ = ch[:, _CHUNK:]
-        t1 = ints_ref[rs, 2:3]
-        t2 = ints_ref[rs, 3:4]
-        g = gam_ref[rs, :]
+        rs_all = slice(base, base + rows)
+        t1 = ints_ref[rs_all, 2:3]
+        t2 = ints_ref[rs_all, 3:4]
+        g = gam_ref[rs_all, :]
 
         def pick(k0, k1, k2):
             a = jnp.where(lane < t1, g[:, k0 : k0 + 1], g[:, k1 : k1 + 1])
@@ -243,7 +260,7 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
 
         gre = pick(0, 1, 2)
         gim = pick(3, 4, 5)
-        zr = chr_ * gre - chi_ * gim  # (SB, 1024)
+        zr = chr_ * gre - chi_ * gim  # (rows, 1024)
         zi = chr_ * gim + chi_ * gre
         if ar is None:
             ar, ai = zr, zi
@@ -256,16 +273,16 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     # re/im planes ride ONE row-stacked block so each level is one roll +
     # one select instead of two (the dance is op-dispatch-bound; the stack
     # copy is a single cheap pass) ----------------------------------------
-    rcol = ints_ref[0:sb_blk, 1:2]
-    a2 = jnp.concatenate([ar, ai], axis=0)  # (2 SB, 1024)
+    rcol = ints_ref[0:rows, 1:2]
+    a2 = jnp.concatenate([ar, ai], axis=0)  # (2 rows, 1024)
     take2 = jnp.concatenate([rcol, rcol], axis=0)
     for bit in (64, 32, 16, 8, 4, 2, 1):
         take = (take2 & bit) != 0
         a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
     # only lanes < _MFK survive into the matched filter (M rows >= 864 are
     # zero); the roll needed the full 1024 (sources span lanes up to 896+127)
-    ar = a2[:sb_blk, :_MFK]
-    ai = a2[sb_blk:, :_MFK]
+    ar = a2[:rows, :_MFK]
+    ai = a2[rows:, :_MFK]
 
     # ---- carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
     # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]
@@ -278,7 +295,7 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
         qi = car[:, 7 + j : 8 + j]
         wbr.append(qr * wrre - qi * wrim)
         wbi.append(qr * wrim + qi * wrre)
-    w_re = jnp.concatenate(wbr, axis=1)  # (SB, 896)
+    w_re = jnp.concatenate(wbr, axis=1)  # (rows, 896)
     w_im = jnp.concatenate(wbi, axis=1)
     fr = ar * w_re - ai * w_im
     fi = ar * w_im + ai * w_re
@@ -286,8 +303,8 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     # ---- matched filter + shared tail (re/im stacked: one matmul) ------
     AB = _dot_mf(jnp.concatenate([fr, fi], axis=0), m_ref[:, :], m_h, m_l,
                  mf_mode)
-    A = AB[:sb_blk, :]
-    Bm = AB[sb_blk:, :]
+    A = AB[:rows, :]
+    Bm = AB[rows:, :]
     sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
     sb_out[:, :] = sb_scaled
     nbad_out[:, 0:1] = nbad.astype(jnp.int32)
@@ -298,17 +315,21 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
                     interpret: bool | None = None,
                     fast_math: bool = False,
                     sb_blk: int = 128,
-                    terms: tuple[int, ...] | None = None
+                    terms: tuple[int, ...] | None = None,
+                    win_blk: int = 1,
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Demodulate S prefiltered candidates of one window (vmap-batchable).
+    """Demodulate S prefiltered candidates per window.
 
-    c: (N,) complex64 analytic window. freqs: static tuple or FreqTables.
-    pos_s/f_idx/p_idx: (S,) int32, S a multiple of sb_blk.
+    c: (N,) complex64 analytic window, or (B, N) for a WINDOW BATCH (then
+    pos_s/f_idx/p_idx are (B, S), S == sb_blk required, and each grid step
+    processes win_blk windows — the kernel is op-dispatch-bound, so stacking
+    windows is ~win_blk x cheaper than vmap'ing). freqs: static tuple or
+    FreqTables. pos_s/f_idx/p_idx: (S,) int32, S a multiple of sb_blk.
     terms optionally lists the survivors' active frame offsets as a STATIC
     tuple (the tiered path: a pattern-p batch only pays for its
     popcount(mask_p) frames instead of 6; every survivor in the call must
     share the pattern).
-    Returns (softbits (S, 128) f32, nbadsync (S,) int32).
+    Returns (softbits (..., S, 128) f32, nbadsync (..., S) int32).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -320,19 +341,33 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
         W = jnp.asarray(t.W)
         chi = jnp.asarray(t.chi[0])
 
-    S = pos_s.shape[0]
+    batched = c.ndim == 2
+    if not batched:
+        c = c[None]
+        pos_s, f_idx, p_idx = pos_s[None], f_idx[None], p_idx[None]
+        win_blk = 1
+    B = c.shape[0]
+    S = pos_s.shape[1]
     assert S % sb_blk == 0, (S, sb_blk)
-    nstep = S // sb_blk
+    assert B % win_blk == 0, (B, win_blk)
+    if win_blk > 1:
+        assert S == sb_blk, (S, sb_blk)
+    inner = S // sb_blk  # sub-steps within one window (1 on the tiered path)
+    gsteps = (B // win_blk) * inner
     m_list = tuple(range(_M)) if terms is None else tuple(terms)
     n_terms = len(m_list)
 
-    ints, gam, car = survivor_params(pos_s, f_idx, p_idx, W, chi, terms)
+    ints, gam, car = jax.vmap(
+        lambda a, b, d: survivor_params(a, b, d, W, chi, terms)
+    )(pos_s, f_idx, p_idx)  # (B, S, T, cols)
 
-    # term-major row layout per step: row = (step*T + j)*SB + s_local
-    def rows_mmajor(a):  # (S, T, cols) -> (nstep*T*SB, cols)
+    # per-step rows: term-major, window-major within each term block:
+    # row = ((step*T + j) * win_blk + w_local) * sb_blk + s_local
+    def rows_mmajor(a):  # (B, S, T, cols) -> (gsteps*T*win_blk*SB, cols)
         cols = a.shape[-1]
-        r = a.reshape(nstep, sb_blk, n_terms, cols).transpose(0, 2, 1, 3)
-        return r.reshape(nstep * n_terms * sb_blk, cols)
+        r = a.reshape(B // win_blk, win_blk, inner, sb_blk, n_terms, cols)
+        r = r.transpose(0, 2, 4, 1, 3, 5)  # (grp, inner, T, w, SB, cols)
+        return r.reshape(-1, cols)
 
     def pad128(a, to: int = 128):
         w = -a.shape[-1] % to
@@ -341,9 +376,9 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
 
     ints_rows = pad128(rows_mmajor(ints))
     gam_rows = pad128(rows_mmajor(gam))
-    car_rows = pad128(car)  # (S, 384)
+    car_rows = pad128(car.reshape(B * S, car.shape[-1]))  # (B*S, 384)
 
-    c_ri = _ext_window(c)
+    c_ri = jax.vmap(_ext_window)(c).reshape(B * 4 * _CROWS, 2048)
 
     M = _mf_matrix()
     mh = M.astype(np.float32).astype(jnp.bfloat16)
@@ -355,16 +390,20 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     exact3 = not interpret
     kernel = functools.partial(_survivor_kernel, sb_blk, m_list, mf_mode,
-                               exact3)
+                               exact3, win_blk)
     const = lambda r, cc: pl.BlockSpec((r, cc), lambda s: (0, 0),
                                        memory_space=pltpu.VMEM)
-    rows = n_terms * sb_blk
+    rows = n_terms * win_blk * sb_blk
+    out_rows = win_blk * sb_blk
+    inner_ = inner  # capture for index maps
     sb, nbad128 = pl.pallas_call(
         kernel,
-        grid=(nstep,),
+        grid=(gsteps,),
         in_specs=[
-            const(4 * _CROWS, 2048),  # offset-class sliding matrices re|im
-            pl.BlockSpec((sb_blk, 384), lambda s: (s, 0),
+            pl.BlockSpec((win_blk * 4 * _CROWS, 2048),
+                         lambda s: (s // inner_, 0),
+                         memory_space=pltpu.VMEM),  # offset-class matrices
+            pl.BlockSpec((out_rows, 384), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # carrier factors
             pl.BlockSpec((rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),  # ints
@@ -376,21 +415,28 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
             const(8, 256),  # lane masks
         ],
         out_specs=[
-            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
+            pl.BlockSpec((out_rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb_blk, 128), lambda s: (s, 0),
+            pl.BlockSpec((out_rows, 128), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, 128), jnp.float32),
-            jax.ShapeDtypeStruct((S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B * S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * S, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((out_rows if win_blk > 1 else 8, 2048), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(c_ri, car_rows, ints_rows, gam_rows,
       M, np.asarray(mh), np.asarray(ml), masks)
-    return sb, nbad128[:, 0]
+    sb = sb.reshape(B, S, 128)
+    nbad = nbad128[:, 0].reshape(B, S)
+    if not batched:
+        return sb[0], nbad[0]
+    return sb, nbad
 
 
 def demod_survivors_ref(c: jnp.ndarray, freqs, pos_s, f_idx, p_idx,

@@ -275,7 +275,8 @@ class PreparedWindow(NamedTuple):
 
 
 def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
-                   chan_valid: jnp.ndarray | None = None) -> PreparedWindow:
+                   chan_valid: jnp.ndarray | None = None,
+                   scanned=None, front=None, demod=None) -> PreparedWindow:
     """One analytic window (5184,) complex64 -> top-K survivor LLRs + meta
     (everything before the LDPC stage).
 
@@ -290,7 +291,10 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     survivor slots or report f0 outside the requested search width).
     """
     use_pallas = resolve_use_pallas(cfg)
-    if use_pallas:
+    if scanned is not None:
+        # decode_raw computed the scan outside (batched); see decode_raw
+        pos, xb = scanned
+    elif use_pallas:
         # Fused TPU kernel: scan never materializes the (P, N, F) metric
         # field.
         from . import pallas_scan
@@ -317,7 +321,10 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
         per_cell = cfg.prefilter_per_cell
         while per_cell < pos.shape[2] and cells * per_cell < pre:
             per_cell += 1
-        if per_cell < pos.shape[2]:
+        if front is not None:
+            xb_f, pos_f, f_idx, p_idx, pre_idx = front
+            pattern_major = True
+        elif per_cell < pos.shape[2]:
             xb_f, pos_f, f_idx, p_idx, pre_idx = prefilter_select(
                 xb, pos, pre, per_cell, chan_valid)
             pattern_major = True  # per-pattern quota runs, contiguous
@@ -330,7 +337,10 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
             p_idx = (pre_idx % per_f) // pos.shape[2]
             pos_f = pos.reshape(nc)[pre_idx]
             pattern_major = False
-        if use_pallas and pattern_major:
+        if demod is not None:
+            # decode_raw ran the window-batched tiered demod outside
+            sb_f, nbad_f = demod
+        elif use_pallas and pattern_major:
             # tiered demod: one kernel call per pattern segment, paying only
             # for that pattern's active frames (the average pattern mix has
             # ~42% zero-mask rows under the flat 6-frame layout)
@@ -527,16 +537,84 @@ def decode_window(c: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
     return decode_window_tables(c, tuple(float(f) for f in cfg.freqs), cfg)
 
 
+_DEMOD_WIN_BLK = 8  # windows per demod grid step (VMEM ~80 MB at seg 176)
+
+
+def _demod_tiered_batched(c, freqs, cfg, pos_f, f_idx, p_idx, P: int):
+    """Window-batched tiered survivor demod: c (B, N), pos_f/f_idx/p_idx
+    (B, pre) -> (sb (B, pre, 128), nbad (B, pre)). One kernel call per
+    pattern tier with _DEMOD_WIN_BLK windows per grid step (the kernel is
+    op-dispatch-bound; see pallas_survivor._survivor_kernel)."""
+    from . import pallas_survivor
+
+    B = c.shape[0]
+    pre = pos_f.shape[1]
+    seg_sizes = split_quota(pre, P)
+    offs = np.cumsum([0] + seg_sizes)
+    sb_parts, nbad_parts = [], []
+    for p in range(P):
+        tl = tuple(int(x) for x in np.nonzero(C.PATTERN_MASKS[p])[0])
+        sl = slice(int(offs[p]), int(offs[p + 1]))
+        n = seg_sizes[p]
+        npad = -n % 8
+        # windows per grid step, shrunk for high-term tiers so the step's
+        # (T * win_blk * seg) working set stays inside VMEM
+        win_blk = _DEMOD_WIN_BLK
+        while win_blk > 1 and (len(tl) * win_blk * (n + npad) > 4096
+                               or B % win_blk):
+            win_blk //= 2
+
+        def padz(a):
+            return jnp.pad(a[:, sl], ((0, 0), (0, npad)))
+
+        sbp, nbp = pallas_survivor.demod_survivors(
+            c, freqs, padz(pos_f), padz(f_idx), padz(p_idx),
+            fast_math=cfg.fast_math, sb_blk=n + npad, terms=tl,
+            win_blk=win_blk)
+        sb_parts.append(sbp[:, :n])
+        nbad_parts.append(nbp[:, :n])
+    return (jnp.concatenate(sb_parts, axis=1),
+            jnp.concatenate(nbad_parts, axis=1))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
     """Jitted: batch of raw windows (B, raw_len) -> batched results.
 
-    BP runs ONCE on the whole batch's survivors (B*K rows): its kernel is
-    op-dispatch-bound, so per-window (vmap'd) calls re-pay ~450 vector ops
-    per window (0.091 -> ~0.03 ms/win flat at batch 16 on v5e)."""
+    The demod and BP kernels are op-dispatch-bound, so both run
+    WINDOW-BATCHED instead of vmap'd: the tiered demod stacks
+    _DEMOD_WIN_BLK windows per grid step, and BP runs once on the whole
+    batch's survivors (B*K rows, row-chunked onto the grid)."""
     c = preprocess(raw, cfg)
     freqs = tuple(float(f) for f in cfg.freqs)
-    prep = jax.vmap(lambda w: prepare_window(w, freqs, cfg))(c)
+    use_pallas = resolve_use_pallas(cfg)
+    nc = (cfg.num_freqs * cfg.scan_depth * cfg.candidates_per_pattern)
+    pre = resolve_prefilter(cfg, nc, use_pallas)
+    cells = cfg.num_freqs * cfg.scan_depth
+    per_cell = cfg.prefilter_per_cell
+    while per_cell < cfg.candidates_per_pattern and cells * per_cell < pre:
+        per_cell += 1
+    flagship = (use_pallas and pre > 0
+                and per_cell < cfg.candidates_per_pattern)
+
+    if flagship:
+        from . import pallas_scan
+
+        pos, xb = jax.vmap(lambda w: pallas_scan.scan_pallas(
+            w, freqs, cfg.scan_depth, fast_math=cfg.fast_math,
+            num_cand=cfg.candidates_per_pattern))(c)
+        front = jax.vmap(lambda pw, xw: prefilter_select(
+            xw, pw, pre, per_cell, None))(pos, xb)
+        sb_f, nbad_f = _demod_tiered_batched(
+            c, freqs, cfg, front[1], front[2], front[3], cfg.scan_depth)
+        prep = jax.vmap(
+            lambda w, po, xo, fr0, fr1, fr2, fr3, fr4, sbw, nbw:
+            prepare_window(w, freqs, cfg, scanned=(po, xo),
+                           front=(fr0, fr1, fr2, fr3, fr4),
+                           demod=(sbw, nbw))
+        )(c, pos, xb, *front, sb_f, nbad_f)
+    else:
+        prep = jax.vmap(lambda w: prepare_window(w, freqs, cfg))(c)
     b, k = prep.llr.shape[0], prep.llr.shape[1]
     bp_flat = bp_stage(prep.llr.reshape(b * k, 128),
                        prep.valid.reshape(b * k), cfg)
