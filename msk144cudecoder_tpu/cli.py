@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate like the reference)")
     p.add_argument("--window-batch", type=int, default=1,
                    help="windows decoded per device call")
+    p.add_argument("--exact-math", action="store_true",
+                   help="exactness-verification precision instead of the "
+                        "native TPU policy (bf16 inputs, f32 accumulation): "
+                        "one-hot selections as exact 3x-bf16 splits, "
+                        "correlation matmuls as Karatsuba 2-way splits. "
+                        "Decode behavior is identical (see config.fast_math)"
+                        "; ~24%% slower on v5e")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu, tpu); wins over the "
                         "environment even where JAX_PLATFORMS is overridden")
@@ -74,6 +81,7 @@ def config_from_args(args: argparse.Namespace) -> DecoderConfig:
         candidates_per_pattern=args.candidates_per_pattern,
         survivor_prefilter=args.survivor_prefilter,
         window_batch=args.window_batch,
+        fast_math=not args.exact_math,
     )
     if args.center_frequency is not None:
         kwargs["center_frequency"] = args.center_frequency

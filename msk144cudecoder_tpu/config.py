@@ -65,13 +65,23 @@ class DecoderConfig:
     # candidates (deep scan: 24,048 -> 6,012). >= 2 keeps two overlapping
     # same-frequency transmissions alive; 8 (= all slots) disables the cap.
     # Ignored when the prefilter is off.
-    fast_math: bool = False  # default MXU precision (bf16 passes) in the
-    # Pallas kernels instead of Precision.HIGHEST — the TPU analog of the
-    # reference's USE_FAST_MATH CMake option (CMakeLists.txt:130-132).
-    # Softbit LLRs lose ~2 decimal digits and exact jnp parity is not
-    # guaranteed. Measured on v5e it is actually SLOWER (6.5 vs 4.6 ms/window
-    # deep scan) — the HIGHEST multi-pass path pipelines better for these
-    # small matmuls — so the default is both more accurate and faster.
+    fast_math: bool = True  # NATIVE TPU PRECISION POLICY (the default):
+    # compute stages run on bf16 inputs with f32 accumulation — the TPU's
+    # native arithmetic, as fp32 is CUDA's native arithmetic in the
+    # reference. Softbits and the scan metric carry ~2^-8 relative noise;
+    # decode BEHAVIOR is measurably identical to the exact mode across the
+    # validation battery (deep-scan sensitivity floor 100%/-4, 90%/-6,
+    # 35%/-8 dB bit-for-bit the same trials; 4-signal busy-band decode sets
+    # identical — ARCHITECTURE.md), because LLR-level noise is far below
+    # the noise floor BP already absorbs, and all BIT-VALUED stages (hard
+    # decisions, sync counts, parity, CRC, payload) remain exact integers.
+    # fast_math=False selects the exactness-verification mode: one-hot
+    # selections as exact 3x-bf16 mantissa splits, correlation matmuls as
+    # Karatsuba 2-way splits (~2^-16), softbits within 3e-4 of the float64
+    # golden model. ~24% slower on v5e (0.35 vs 0.28 ms/window deep scan).
+    # (The reference's USE_FAST_MATH CMake option is the loose analog,
+    # CMakeLists.txt:130-132 — though CUDA fast-math relaxes transcendental
+    # accuracy, while this knob only chooses MXU input width.)
     window_batch: int = 1  # windows decoded per device call
 
     def __post_init__(self):

@@ -225,6 +225,12 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     win_blk = 1 — tools/_demod_ablate_r3.py)."""
     n_terms = len(m_list)
     rows = win_blk * sb_blk
+    fast = mf_mode == "fast"
+    # fast_math: all frame data in bf16 (half the VMEM traffic through the
+    # mix/roll/carrier chain, 1-pass extraction/MF matmuls); softbit error
+    # ~2^-8 relative — LLR-level noise the BP absorbs (deep-scan decode
+    # floor measured identical to the exact path, ARCHITECTURE.md)
+    ftype = jnp.bfloat16 if fast else jnp.float32
     lane96 = jax.lax.broadcasted_iota(jnp.int32, (sb_blk, _CROWS), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK), 1)
 
@@ -240,7 +246,13 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
             qcol = ints_ref[rs, 0:1]  # (SB, 1): row in window w's R_cls
             oh = jnp.where(qcol == lane96, 1.0, 0.0)
             blk = w * 4 * _CROWS + cls * _CROWS
-            ch_w = _dot_onehot(oh, c_ri[blk : blk + _CROWS, :], exact3)
+            if fast:
+                ch_w = jnp.dot(oh.astype(jnp.bfloat16),
+                               c_ri[blk : blk + _CROWS, :].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+            else:
+                ch_w = _dot_onehot(oh, c_ri[blk : blk + _CROWS, :], exact3)
             if win_blk == 1:
                 ch = ch_w
             else:
@@ -255,8 +267,10 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
         g = gam_ref[rs_all, :]
 
         def pick(k0, k1, k2):
+            # the lane-threshold selects run in 32-bit (Mosaic cannot mix a
+            # 32-bit compare mask with 16-bit operands); one cast after
             a = jnp.where(lane < t1, g[:, k0 : k0 + 1], g[:, k1 : k1 + 1])
-            return jnp.where(lane < t2, a, g[:, k2 : k2 + 1])
+            return jnp.where(lane < t2, a, g[:, k2 : k2 + 1]).astype(ftype)
 
         gre = pick(0, 1, 2)
         gim = pick(3, 4, 5)
@@ -274,11 +288,14 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     # one select instead of two (the dance is op-dispatch-bound; the stack
     # copy is a single cheap pass) ----------------------------------------
     rcol = ints_ref[0:rows, 1:2]
-    a2 = jnp.concatenate([ar, ai], axis=0)  # (2 rows, 1024)
+    # (Mosaic rotate is 32-bit only: the roll stage runs in f32 even in
+    # fast mode)
+    a2 = jnp.concatenate([ar, ai], axis=0).astype(jnp.float32)
     take2 = jnp.concatenate([rcol, rcol], axis=0)
     for bit in (64, 32, 16, 8, 4, 2, 1):
         take = (take2 & bit) != 0
         a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
+    a2 = a2.astype(ftype)
     # only lanes < _MFK survive into the matched filter (M rows >= 864 are
     # zero); the roll needed the full 1024 (sources span lanes up to 896+127)
     ar = a2[:rows, :_MFK]
@@ -286,7 +303,7 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
 
     # ---- carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
     # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]
-    car = car_ref[:, :]
+    car = car_ref[:, :].astype(ftype)
     wrre = car[:, 14:142]
     wrim = car[:, 142:270]
     wbr, wbi = [], []
@@ -301,8 +318,11 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     fi = ar * w_im + ai * w_re
 
     # ---- matched filter + shared tail (re/im stacked: one matmul) ------
-    AB = _dot_mf(jnp.concatenate([fr, fi], axis=0), m_ref[:, :], m_h, m_l,
-                 mf_mode)
+    stacked = jnp.concatenate([fr, fi], axis=0)
+    if fast:
+        AB = jnp.dot(stacked, m_h[:, :], preferred_element_type=jnp.float32)
+    else:
+        AB = _dot_mf(stacked, m_ref[:, :], m_h, m_l, mf_mode)
     A = AB[:rows, :]
     Bm = AB[rows:, :]
     sb_scaled, nbad = mf_tail(A, Bm, masks_ref)
@@ -425,7 +445,9 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
             jax.ShapeDtypeStruct((B * S, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((out_rows if win_blk > 1 else 8, 2048), jnp.float32),
+            pltpu.VMEM((out_rows if win_blk > 1 else 8, 2048),
+                       jnp.bfloat16 if (fast_math and not interpret)
+                       else jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

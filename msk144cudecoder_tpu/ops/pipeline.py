@@ -557,10 +557,12 @@ def _demod_tiered_batched(c, freqs, cfg, pos_f, f_idx, p_idx, P: int):
         sl = slice(int(offs[p]), int(offs[p + 1]))
         n = seg_sizes[p]
         npad = -n % 8
-        # windows per grid step, shrunk for high-term tiers so the step's
-        # (T * win_blk * seg) working set stays inside VMEM
+        # windows per grid step, shrunk so the step's VMEM fits: the mix
+        # temporaries scale with T * win * seg rows and the double-buffered
+        # per-window sliding matrices with win (6.2 MB each)
         win_blk = _DEMOD_WIN_BLK
         while win_blk > 1 and (len(tl) * win_blk * (n + npad) > 4096
+                               or win_blk * (n + npad) > 704
                                or B % win_blk):
             win_blk //= 2
 

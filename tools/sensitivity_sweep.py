@@ -33,6 +33,7 @@ def main() -> int:
     p.add_argument("--max-survivors", type=int, default=256)
     p.add_argument("--survivor-prefilter", type=int, default=None)
     p.add_argument("--nbadsync-threshold", type=int, default=1)
+    p.add_argument("--exact", action="store_true")
     p.add_argument("--golden", action="store_true", help="also run the golden model")
     args = p.parse_args()
 
@@ -52,7 +53,8 @@ def main() -> int:
                         max_survivors=args.max_survivors,
                         survivor_prefilter=args.survivor_prefilter,
                         nbadsync_threshold=args.nbadsync_threshold,
-                        candidates_per_pattern=args.candidates_per_pattern)
+                        candidates_per_pattern=args.candidates_per_pattern,
+                        fast_math=not args.exact)
     message = "CQ K1ABC FN42"
     snrs = [float(s) for s in args.snrs.split(",")]
 
