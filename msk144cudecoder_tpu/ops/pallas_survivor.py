@@ -248,7 +248,7 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
             blk = w * 4 * _CROWS + cls * _CROWS
             if fast:
                 ch_w = jnp.dot(oh.astype(jnp.bfloat16),
-                               c_ri[blk : blk + _CROWS, :].astype(jnp.bfloat16),
+                               c_ri[blk : blk + _CROWS, :],
                                preferred_element_type=jnp.float32
                                ).astype(jnp.bfloat16)
             else:
@@ -398,7 +398,11 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     gam_rows = pad128(rows_mmajor(gam))
     car_rows = pad128(car.reshape(B * S, car.shape[-1]))  # (B*S, 384)
 
+    mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     c_ri = jax.vmap(_ext_window)(c).reshape(B * 4 * _CROWS, 2048)
+    if mf_mode == "fast":
+        c_ri = c_ri.astype(jnp.bfloat16)  # native mode: half the sliding-
+        # matrix VMEM traffic and no per-term in-kernel casts
 
     M = _mf_matrix()
     mh = M.astype(np.float32).astype(jnp.bfloat16)
@@ -407,7 +411,6 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     masks = np.concatenate([even, in144, ssign], axis=0)
     masks = np.concatenate([masks, np.zeros((5, 256), np.float32)], axis=0)
 
-    mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
     exact3 = not interpret
     kernel = functools.partial(_survivor_kernel, sb_blk, m_list, mf_mode,
                                exact3, win_blk)
