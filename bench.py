@@ -24,13 +24,12 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128, help="windows per device call")
     p.add_argument("--iters", type=int, default=8, help="timed iterations per stream")
-    p.add_argument("--streams", type=int, default=3,
+    p.add_argument("--streams", type=int, default=4,
                    help="concurrent host threads feeding the chip (the dev "
                         "tunnel serializes each thread's dispatch+fetch round "
                         "trips; three independent chains overlap them and reach "
                         "the device-compute bound, like a pipelined driver; "
-                        "measured on v5e: 1 stream 0.55, 2 0.47, 3 0.41, 4 0.41 "
-                        "ms/win at batch 64)")
+                        "measured on v5e at batch 128 native: 3 streams 803x, 4 815x)")
     p.add_argument("--quick", action="store_true",
                    help="small config for CI/CPU smoke runs")
     p.add_argument("--exact", action="store_true",

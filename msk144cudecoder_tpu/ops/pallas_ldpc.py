@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..protocol import ldpc_tables as T
-from .ldpc import BPResult, _tables, platanh
+from .ldpc import _LOG_FLOOR, BPResult, _tables, platanh
 
 _NE = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418
 _EPAD = 512  # edge axis padded to full lane tiles
@@ -52,6 +52,10 @@ def _kernel_tables() -> dict:
     sel_bit[:, :_NE] = t["SEL_BIT"]
     sel_sum = np.zeros((_EPAD, 128), np.float32)
     sel_sum[:_NE, :] = t["SEL_SUM"]
+    grp = np.zeros((_EPAD, 128), np.float32)
+    grp[:_NE, :] = t["GRP"]
+    back = np.zeros((128, _EPAD), np.float32)
+    back[:, :_NE] = t["BACK"]
     count_m = np.zeros((128, 128), np.float32)
     count_m[:, : T.N_CHECKS] = t["COUNT_M"]
     crc_m = np.zeros((128, 128), np.float32)
@@ -68,6 +72,8 @@ def _kernel_tables() -> dict:
     return {
         "SEL_BIT": sel_bit.astype(jnp.bfloat16),
         "SEL_SUM": sel_sum.astype(jnp.bfloat16),
+        "GRP": grp.astype(jnp.bfloat16),
+        "BACK": back.astype(jnp.bfloat16),
         "COUNT_M": count_m.astype(jnp.bfloat16),
         "CRC_M": crc_m.astype(jnp.bfloat16),
         "MASKS": masks,
@@ -97,7 +103,7 @@ def _sel_dot(x, sel_bf16):
 
 def _bp_kernel(max_iters: int,
                llr_ref, valid_ref,
-               sel_bit, sel_sum_r, count_m, crc_m, masks_ref,
+               sel_bit, sel_sum_r, grp_r, back_r, count_m, crc_m, masks_ref,
                cw_out, meta_out,
                tov_ref, state_ref):
     llr = llr_ref[:, :]
@@ -105,6 +111,8 @@ def _bp_kernel(max_iters: int,
     valid = valid_ref[:, 0:1] != 0  # (K, 1)
     sel_bit = sel_bit[:, :]
     sel_sum = sel_sum_r[:, :]
+    grp = grp_r[:, :]
+    back = back_r[:, :]
     count_m = count_m[:, :]
     crc_m = crc_m[:, :]
     edge_valid = masks_ref[0:1, :] != 0.0
@@ -165,18 +173,23 @@ def _bp_kernel(max_iters: int,
         toc = zn_e - tov_e
         t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
 
-        # leave-one-out products in 11-lane groups (masked doubling scans)
-        pf = t
-        for s in (1, 2, 4, 8):
-            pf = pf * jnp.where(jmod >= s, pltpu.roll(pf, s, 1), 1.0)
-        sf = t
-        for s in (1, 2, 4, 8):
-            sf = sf * jnp.where(jmod < T.MAX_ROW_DEGREE - s,
-                                pltpu.roll(sf, _EPAD - s, 1), 1.0)
-        pf = jnp.where(jmod >= 1, pltpu.roll(pf, 1, 1), 1.0)
-        sf = jnp.where(jmod < T.MAX_ROW_DEGREE - 1,
-                       pltpu.roll(sf, _EPAD - 1, 1), 1.0)
-        loo = pf * sf
+        # leave-one-out via log-domain group sums (mirrors
+        # ops.ldpc._loo_log_domain op for op — bit-identical): the group-sum
+        # and broadcast matmuls are exact-copy sums of split-3 parts
+        lt = jnp.log2(jnp.maximum(jnp.abs(t), _LOG_FLOOR))
+        S = jnp.zeros((k, 128), jnp.float32)
+        for part in _split3(lt):
+            S = S + _dot_bf16(part, grp)
+        S_e = jnp.zeros((k, _EPAD), jnp.float32)
+        for part in _split3(S):
+            S_e = S_e + _dot_bf16(part, back)
+        mag = jnp.exp2(S_e - lt)
+        neg = jnp.where((t < 0.0) & edge_valid, 1.0, 0.0)
+        negc = _dot_bf16(neg.astype(jnp.bfloat16), grp)
+        negc_e = _dot_bf16(negc.astype(jnp.bfloat16), back)
+        others = negc_e - neg
+        odd = others - 2.0 * jnp.floor(others * 0.5)
+        loo = (1.0 - 2.0 * odd) * mag
 
         # check -> bit messages stay in edge layout (padded lanes zeroed)
         tov_ref[:, :] = jnp.where(edge_valid, 2.0 * platanh(-loo), 0.0)
@@ -222,7 +235,7 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
     cw, meta = pl.pallas_call(
         kernel,
         grid=(nstep,),
-        in_specs=[row_spec, row_spec] + [const] * 5,
+        in_specs=[row_spec, row_spec] + [const] * 7,
         out_specs=[row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
@@ -235,8 +248,8 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SUM"], tbl["COUNT_M"],
-      tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
+    )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SUM"], tbl["GRP"],
+      tbl["BACK"], tbl["COUNT_M"], tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
 
     return BPResult(
         found=meta[:, 0] != 0.0,
