@@ -101,7 +101,7 @@ def _sel_dot(x, sel_bf16):
         xl, sel_bf16)
 
 
-def _bp_kernel(max_iters: int,
+def _bp_kernel(max_iters: int, fast: bool,
                llr_ref, valid_ref,
                sel_bit, sel_sum_r, grp_r, back_r, count_m, crc_m, masks_ref,
                cw_out, meta_out,
@@ -136,8 +136,13 @@ def _bp_kernel(max_iters: int,
         # columns are all-zero). Mirrors ops/ldpc.py body() exactly — the
         # MXU's f32 accumulator adds the <=3 exact products in contraction
         # order, same as XLA's dot on the jnp path.
+        # native mode: the message copies/sums run at 1-pass bf16 (~2^-8
+        # LLR noise, same class as the native softbits; the LOG-domain sums
+        # below stay exact-split — bf16 absolute error on a +-80-range log
+        # would be ~0.3, a ~25% magnitude error after exp2)
         zn = llr
-        for part in _split3(tov_e):
+        for part in ((tov_e.astype(jnp.bfloat16),) if fast
+                     else _split3(tov_e)):
             zn = zn + _dot_bf16(part, sel_sum)
         cw = (zn > 0.0).astype(jnp.float32)  # (K, 128) 0/1
 
@@ -169,7 +174,10 @@ def _bp_kernel(max_iters: int,
         state_ref[:, :] = jnp.where(newly, upd, st)
 
         # bit -> check; tov is already per-edge
-        zn_e = _sel_dot(zn, sel_bit)  # (K, 512)
+        if fast:
+            zn_e = _dot_bf16(zn.astype(jnp.bfloat16), sel_bit)  # (K, 512)
+        else:
+            zn_e = _sel_dot(zn, sel_bit)
         toc = zn_e - tov_e
         t = jnp.where(edge_valid, jnp.tanh(-0.5 * toc), 1.0)
 
@@ -204,7 +212,8 @@ _ROW_CHUNK = 4096  # rows per grid step: VMEM ~25 MB of (chunk, 512) arrays
 
 def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
                      max_iters: int = C.NUM_BP_ITERATIONS,
-                     interpret: bool | None = None) -> BPResult:
+                     interpret: bool | None = None,
+                     fast_math: bool = False) -> BPResult:
     """Drop-in replacement for ops.ldpc.bp_decode via one fused kernel.
 
     llr: (K, 128) float32; valid: (K,) bool. K must be a multiple of 8
@@ -228,7 +237,8 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         chunk = k  # odd sizes: single step (callers keep k a power-of-2-ish)
     nstep = k // chunk
 
-    kernel = functools.partial(_bp_kernel, max_iters)
+    kernel = functools.partial(_bp_kernel, max_iters,
+                               fast_math and not interpret)
     row_spec = pl.BlockSpec((chunk, 128), lambda s: (s, 0),
                             memory_space=pltpu.VMEM)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -455,7 +455,8 @@ def bp_stage(llr: jnp.ndarray, valid: jnp.ndarray, cfg: DecoderConfig):
     if resolve_use_pallas(cfg):
         from . import pallas_ldpc
 
-        return pallas_ldpc.bp_decode_pallas(llr, valid)
+        return pallas_ldpc.bp_decode_pallas(llr, valid,
+                                            fast_math=cfg.fast_math)
     return ldpc.bp_decode(llr, valid)
 
 
