@@ -94,8 +94,8 @@ def _term_geometry(m: int) -> tuple[int, int]:
     return 6 * m + c, _OFFS.index(o)
 
 
-def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
-    """(N,) complex -> (384, 2048) f32 sliding matrices, re | im.
+def _ext_window(c: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(N,) complex -> (384, 2048) sliding matrices, re | im.
 
     Four stacked 96-row blocks, one per offset class o in {0, 32, 64, 96}:
     block row q holds ext[128 q + o : 128 q + o + 1024] (ext = c cyclically
@@ -104,18 +104,24 @@ def _ext_window(c: jnp.ndarray) -> jnp.ndarray:
     pure layout copies, no gather. Rows past 73 are never selected
     (q = pos//128 + 6m + c <= 40 + 33); they carry wrapped/zero filler."""
     pad_len = _CROWS * 128 + _OFFS[-1] - _EXT_LEN
-    ext = jnp.concatenate([c, c, c[:_CHUNK],
-                           jnp.zeros((pad_len,), c.dtype)])
-    blocks = []
-    for o in _OFFS:
-        tile = ext[o : o + _CROWS * 128].reshape(_CROWS, 128)
-        r = jnp.concatenate([tile[j : j + _CROWS - 8, :] for j in range(8)],
-                            axis=1)  # (88, 1024): row q = ext[128q+o : +1024]
-        blocks.append(jnp.concatenate(
-            [r, jnp.zeros((_CROWS - r.shape[0], 1024), r.dtype)]))
-    rr = jnp.concatenate(blocks, axis=0)  # (384, 1024) complex
-    return jnp.concatenate(
-        [rr.real.astype(jnp.float32), rr.imag.astype(jnp.float32)], axis=1)
+    # cast the 1-D planes FIRST (native mode: bf16): every slice copy below
+    # then moves half the bytes
+    er = jnp.real(c).astype(dtype)
+    ei = jnp.imag(c).astype(dtype)
+    planes = []
+    for x in (er, ei):
+        ext = jnp.concatenate([x, x, x[:_CHUNK],
+                               jnp.zeros((pad_len,), dtype)])
+        blocks = []
+        for o in _OFFS:
+            tile = ext[o : o + _CROWS * 128].reshape(_CROWS, 128)
+            r = jnp.concatenate(
+                [tile[j : j + _CROWS - 8, :] for j in range(8)],
+                axis=1)  # (88, 1024): row q = ext[128q+o : +1024]
+            blocks.append(jnp.concatenate(
+                [r, jnp.zeros((_CROWS - r.shape[0], 1024), dtype)]))
+        planes.append(jnp.concatenate(blocks, axis=0))  # (384, 1024)
+    return jnp.concatenate(planes, axis=1)
 
 
 def _mask_pick(rows: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -399,10 +405,11 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     car_rows = pad128(car.reshape(B * S, car.shape[-1]))  # (B*S, 384)
 
     mf_mode = "f32" if interpret else ("fast" if fast_math else "exact3")
-    c_ri = jax.vmap(_ext_window)(c).reshape(B * 4 * _CROWS, 2048)
-    if mf_mode == "fast":
-        c_ri = c_ri.astype(jnp.bfloat16)  # native mode: half the sliding-
-        # matrix VMEM traffic and no per-term in-kernel casts
+    # native mode: bf16 sliding matrices (half the build and VMEM traffic,
+    # no in-kernel casts)
+    cr_dtype = jnp.bfloat16 if mf_mode == "fast" else jnp.float32
+    c_ri = jax.vmap(lambda w: _ext_window(w, cr_dtype))(c).reshape(
+        B * 4 * _CROWS, 2048)
 
     M = _mf_matrix()
     mh = M.astype(np.float32).astype(jnp.bfloat16)
