@@ -207,7 +207,7 @@ def _bp_kernel(max_iters: int, fast: bool,
     meta_out[:, :] = state_ref[:, :]
 
 
-_ROW_CHUNK = 4096  # rows per grid step: VMEM ~25 MB of (chunk, 512) arrays
+_ROW_CHUNK = 1024  # rows per grid step: VMEM ~25 MB of (chunk, 512) arrays
 
 
 def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
