@@ -294,18 +294,33 @@ def _survivor_kernel(sb_blk: int, m_list: tuple, mf_mode: str, exact3: bool,
     # one select instead of two (the dance is op-dispatch-bound; the stack
     # copy is a single cheap pass) ----------------------------------------
     rcol = ints_ref[0:rows, 1:2]
-    # (Mosaic rotate is 32-bit only: the roll stage runs in f32 even in
-    # fast mode)
-    a2 = jnp.concatenate([ar, ai], axis=0).astype(jnp.float32)
-    take2 = jnp.concatenate([rcol, rcol], axis=0)
-    for bit in (64, 32, 16, 8, 4, 2, 1):
-        take = (take2 & bit) != 0
-        a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
-    a2 = a2.astype(ftype)
-    # only lanes < _MFK survive into the matched filter (M rows >= 864 are
-    # zero); the roll needed the full 1024 (sources span lanes up to 896+127)
-    ar = a2[:rows, :_MFK]
-    ai = a2[rows:, :_MFK]
+    # Mosaic rotate is 32-bit only. Native mode: pack the bf16 re/im pair
+    # into ONE i32 lane (both planes roll by the same amount) — half the
+    # roll traffic and op count; bit-exact (pure bit movement). Exact mode:
+    # roll the f32 planes row-stacked.
+    if fast:
+        au = jax.lax.bitcast_convert_type(ar, jnp.uint16).astype(jnp.uint32)
+        bu = jax.lax.bitcast_convert_type(ai, jnp.uint16).astype(jnp.uint32)
+        a2 = ((au << 16) | bu).astype(jnp.int32)
+        for bit in (64, 32, 16, 8, 4, 2, 1):
+            take = (rcol & bit) != 0
+            a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
+        ru = a2.astype(jnp.uint32)
+        # only lanes < _MFK survive into the matched filter (M rows >= 864
+        # are zero); the roll needed the full 1024 (sources span lanes up
+        # to 896+127)
+        ar = jax.lax.bitcast_convert_type(
+            (ru >> 16).astype(jnp.uint16), jnp.bfloat16)[:, :_MFK]
+        ai = jax.lax.bitcast_convert_type(
+            (ru & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)[:, :_MFK]
+    else:
+        a2 = jnp.concatenate([ar, ai], axis=0).astype(jnp.float32)
+        take2 = jnp.concatenate([rcol, rcol], axis=0)
+        for bit in (64, 32, 16, 8, 4, 2, 1):
+            take = (take2 & bit) != 0
+            a2 = jnp.where(take, pltpu.roll(a2, _CHUNK - bit, 1), a2)
+        ar = a2[:rows, :_MFK]
+        ai = a2[rows:, :_MFK]
 
     # ---- carrier W[f, 128j + r] = W[f, 128j] * W[f, r] -----------------
     # car_ref columns: [wq re 0:7 | wq im 7:14 | wr re 14:142 | wr im 142:270]
