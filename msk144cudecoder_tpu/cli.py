@@ -109,6 +109,7 @@ def print_banner(cfg: DecoderConfig, out=None) -> None:
         f"Frequency channels: {cfg.num_freqs}",
         f"Candidate slots: {cfg.num_candidates}",
         f"LDPC survivor batch: {cfg.max_survivors}",
+        f"Precision: {'native (bf16/f32-acc)' if cfg.fast_math else 'exact'}",
         "",
     ]
     print("\n".join(lines), file=out)

@@ -135,7 +135,8 @@ _WQ_COLS = (_N - 1) // 128 + 1  # 41 row-aligned W powers
 
 
 def survivor_params(pos_s, f_idx, p_idx, W, chi,
-                    terms: tuple[int, ...] | None = None):
+                    terms: tuple[int, ...] | None = None,
+                    fast: bool = False):
     """Per-survivor kernel operands from exact table values.
 
     pos_s/f_idx/p_idx: (S,) int32. W: (F, N) complex64 mix table,
@@ -187,7 +188,13 @@ def survivor_params(pos_s, f_idx, p_idx, W, chi,
         axis=1).astype(jnp.float32)  # (F, 352)
     oh = (f_idx[:, None] == jnp.arange(W.shape[0], dtype=jnp.int32)
           ).astype(jnp.float32)
-    rows = jnp.matmul(oh, fm, precision=jax.lax.Precision.HIGH)  # (S, 352)
+    # native mode: 1-pass bf16 table fetch — gamma/carrier phases round to
+    # ~2^-8 ANYWAY in the bf16 mix products; a +-0.6 deg phase jitter costs
+    # < 0.01 dB of 6-frame coherent-averaging gain (sensitivity floor
+    # re-validated identical)
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGH)
+    rows = jnp.matmul(oh, fm, precision=prec)  # (S, 352)
 
     wq_s = jax.lax.complex(_mask_pick(rows[:, 0:41], q0, _WQ_COLS),
                            _mask_pick(rows[:, 41:82], q0, _WQ_COLS))
@@ -398,8 +405,10 @@ def demod_survivors(c: jnp.ndarray, freqs, pos_s: jnp.ndarray,
     m_list = tuple(range(_M)) if terms is None else tuple(terms)
     n_terms = len(m_list)
 
+    fast_params = fast_math and not (interpret or False)
     ints, gam, car = jax.vmap(
-        lambda a, b, d: survivor_params(a, b, d, W, chi, terms)
+        lambda a, b, d: survivor_params(a, b, d, W, chi, terms,
+                                        fast=fast_params)
     )(pos_s, f_idx, p_idx)  # (B, S, T, cols)
 
     # per-step rows: term-major, window-major within each term block:
