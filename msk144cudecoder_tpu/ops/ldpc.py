@@ -20,18 +20,16 @@ platanh is the reference's 5-segment piecewise-linear atanh.
 Layout notes (v5e): every array stays in a flat lane layout — edges as
 (K, 418) with the 11 slots of a check on consecutive lanes. The earlier
 (K, 38, 11) / (K, 128, 3) forms padded their last axis to 128 lanes (>90%
-of every vreg idle) and serialized the leave-one-out products; here the
-leave-one-out is a masked Hillis-Steele doubling scan inside the 11-lane
-groups (4+4 steps at full lane width) and check parity is one extra one-hot
-matmul. Check->bit messages (tov) live NATIVELY in edge layout: the
-check->bit scatter and the per-edge tov re-select of an earlier slot-major
-form both disappear (toc = zn_e - tov_e is elementwise), leaving two
-selection matmuls per iteration — zn -> edges, and three slot-separated
-edge -> bit copies whose f32 adds keep the original slot summation order
-(so results are bit-identical to the slot-major form). All selections are
-matmuls with constant 0/1 matrices (bit-exact at Precision.HIGH: the 3-way
-bf16 split is an exact mantissa decomposition and each output copies exactly
-one input) — TPU gathers run on the scalar core and dominated BP runtime
+of every vreg idle) and serialized the leave-one-out products; the
+leave-one-out runs in the LOG DOMAIN (_loo_log_domain: per-check group sums
+of log2|tanh| and the broadcast back both as one-hot matmuls, exp2 of
+sum-minus-own, negative-count parity for the sign — a round-3 rewrite of
+the earlier masked doubling scans, whose 10 roll+mask+mul steps per
+iteration were 60% of BP's VPU time). Check->bit messages (tov) live
+NATIVELY in edge layout (toc = zn_e - tov_e is elementwise); the bit-message
+sums ride one summing matmul per bf16 split part. All selections are
+matmuls with constant 0/1 matrices — exact-copy sums in contraction order —
+because TPU gathers run on the scalar core and dominated BP runtime
 (~240 ms per 2048 candidates measured on v5e) before this formulation.
 
 A decoded candidate's result freezes at its first success (early-exit
@@ -87,7 +85,6 @@ def _tables() -> dict:
             COUNT_M[b, r] = 1.0
             (k,) = [k for k in range(3) if MN[b, k, 0] == r and MN[b, k, 1] == j]
             SEL_SLOT[k, e, b] = 1.0
-    jmod = (np.arange(_NE) % T.MAX_ROW_DEGREE).astype(np.int32)
     # group-sum / group-broadcast one-hots for the log-domain leave-one-out
     # (GRP columns 0..37 sum a check row's edges; BACK fans a per-check
     # value back to its edges; padded edges/checks select nothing)
@@ -99,7 +96,6 @@ def _tables() -> dict:
         BACK[r, e] = 1.0
     return {
         "edge_valid_f": edge_valid.astype(np.float32).reshape(_NE),
-        "jmod": jmod,
         "SEL_BIT": SEL_BIT,
         "SEL_SLOT": SEL_SLOT,
         "SEL_SUM": SEL_SLOT.sum(axis=0),  # (418, 128): <=3 ones per column
@@ -139,25 +135,6 @@ def platanh(x: jnp.ndarray) -> jnp.ndarray:
             ),
         ),
     )
-
-
-def _grouped_exclusive_products(t: jnp.ndarray, jmod: jnp.ndarray) -> jnp.ndarray:
-    """Leave-one-out products within consecutive 11-lane groups of (K, 418).
-
-    Masked Hillis-Steele doubling scans (group size 11 < 16 -> 4 steps each
-    way) at full lane width; the jmod masks stop combines from crossing group
-    boundaries (and the 418-lane wrap of jnp.roll).
-    """
-    pf = t
-    for s in (1, 2, 4, 8):  # inclusive prefix products
-        pf = pf * jnp.where(jmod >= s, jnp.roll(pf, s, axis=-1), 1.0)
-    sf = t
-    for s in (1, 2, 4, 8):  # inclusive suffix products
-        sf = sf * jnp.where(jmod < T.MAX_ROW_DEGREE - s,
-                            jnp.roll(sf, -s, axis=-1), 1.0)
-    pf = jnp.where(jmod >= 1, jnp.roll(pf, 1, axis=-1), 1.0)  # exclusive
-    sf = jnp.where(jmod < T.MAX_ROW_DEGREE - 1, jnp.roll(sf, -1, axis=-1), 1.0)
-    return pf * sf
 
 
 _LOG_FLOOR = 2.0 ** -80  # |tanh| clamp before log2: a zero message (toc==0)

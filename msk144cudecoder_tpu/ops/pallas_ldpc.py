@@ -17,10 +17,10 @@ per-candidate result freezing as the early-exit analog):
   - parity row sums and the CRC GF(2) mat-vec run as single-pass bf16 dots,
     which are EXACT here: both operands are 0/1 (exactly representable) and
     row sums are <= 90 (exact in the f32 accumulator);
-  - leave-one-out check products use the same masked Hillis-Steele doubling
-    scans, on a 512-lane padded edge axis (pltpu.roll; the jmod masks keep
-    group boundaries and padding inert, and padded SEL columns are zero so
-    garbage in lanes >= 418 never propagates).
+  - leave-one-out check products run in the log domain (mirroring
+    ops.ldpc._loo_log_domain op for op on a 512-lane padded edge axis;
+    padded SEL columns are zero so garbage in lanes >= 418 never
+    propagates).
 
 Edge tables ride in VMEM as bf16 one-hot matrices (halved footprint, no
 per-iteration split needed on the constant side).
@@ -61,12 +61,10 @@ def _kernel_tables() -> dict:
     crc_m = np.zeros((128, 128), np.float32)
     crc_m[:77, :13] = t["CRC_M"]
     # lane masks packed as one (8, 512) f32 operand:
-    # row 0: edge_valid; row 1: jmod as float; row 2 lanes<38: ones (check
-    # mask); row 3 lanes [77,90): ones (CRC-bit positions)
+    # row 0: edge_valid; row 2 lanes<38: ones (check mask);
+    # row 3 lanes [77,90): ones (CRC-bit positions)
     masks = np.zeros((8, _EPAD), np.float32)
     masks[0, :_NE] = t["edge_valid_f"]
-    masks[1, :_NE] = t["jmod"].astype(np.float32)
-    masks[1, _NE:] = 0.0  # padded lanes: jmod 0 => all combine masks reject
     masks[2, : T.N_CHECKS] = 1.0
     masks[3, 77:90] = 1.0
     return {
@@ -124,7 +122,6 @@ def _bp_kernel(max_iters: int, fast: bool,
     count_m = count_m[:, :]
     crc_m = crc_m[:, :]
     edge_valid = masks_ref[0:1, :] != 0.0
-    jmod = masks_ref[1:2, :]
     check_mask = masks_ref[2:3, 0:128]
     crc_mask = masks_ref[3:4, 0:128]
     hard_in = llr > 0.0

@@ -1,8 +1,10 @@
 """Ablation timing of the Pallas BP kernel on TPU (dev probe).
 
-Variants disable pieces of each iteration (same shapes) to attribute cost:
-zn slot-select matmuls, bit->edge matmul, parity/CRC gate, tanh, the
-leave-one-out doubling scans.
+HISTORICAL: this measured the ROUND-3-START kernel (slot-select matmuls +
+masked doubling scans) and attributed its cost (zn selects 27 us/win, loo
+scans 27 us/win), motivating the SEL_SUM and log-domain rewrites. It
+snapshots that kernel's structure and needs the pre-a12c4dc _kernel_tables
+(SEL_SLOT0..2, jmod mask row) to run — check out an older tree to re-run.
 """
 import functools
 import sys, time
