@@ -76,6 +76,15 @@ def ihashcall(call: str, m: int) -> int:
     return ((47055833459 * n) & ((1 << 64) - 1)) >> (64 - m)
 
 
+#: Cap per hash table; WSJT-X keeps the *most recent* call per hash value (the
+#: tables are keyed by hash, so collisions overwrite), but its process restarts
+#: between sessions while this stream decoder runs indefinitely — bound the
+#: table so a years-long busy-band stream cannot grow it without limit.
+#: FIFO eviction (oldest heard call goes first) matches the hashing protocol's
+#: intent: hashes resolve against *recently heard* callsigns.
+HASH_TABLE_MAX = 4096
+
+
 @dataclass
 class CallsignHashTable:
     """Hash -> callsign memory, mirroring WSJT-X save_hash_call semantics."""
@@ -90,9 +99,13 @@ class CallsignHashTable:
             return
         if len(call) < 3 or call in ("CQ", "DE", "QRZ"):
             return
-        self.h10[ihashcall(call, 10)] = call
-        self.h12[ihashcall(call, 12)] = call
-        self.h22[ihashcall(call, 22)] = call
+        for table, m in ((self.h10, 10), (self.h12, 12), (self.h22, 22)):
+            h = ihashcall(call, m)
+            # re-adding a known call refreshes its age (delete + reinsert)
+            table.pop(h, None)
+            if len(table) >= HASH_TABLE_MAX:
+                table.pop(next(iter(table)))
+            table[h] = call
 
     def lookup(self, table: Dict[int, str], h: int) -> str:
         call = table.get(h)

@@ -30,6 +30,14 @@ from .result_filter import ResultFilter, ResultItem
 from .snr import SNRTracker
 
 
+#: Cap on the content-keyed unpack memo. A stream decoder runs indefinitely
+#: (main.cu's loop is while-not-EOF); distinct 77-bit payloads are rare in
+#: practice (noise survivors fail the plausibility gate and cache as misses),
+#: but a cap keeps the worst case bounded. FIFO eviction: recurrence of the
+#: *same* message dominates, so recency tracking buys nothing here.
+DECODE_CACHE_MAX = 4096
+
+
 class StreamDecoder:
     def __init__(self, cfg: DecoderConfig):
         self.cfg = cfg
@@ -86,6 +94,8 @@ class StreamDecoder:
             out = msg77.unpack77(bits77, self.hashes)
         else:
             out = (False, "")
+        if len(self._decode_cache) >= DECODE_CACHE_MAX:
+            self._decode_cache.pop(next(iter(self._decode_cache)))
         self._decode_cache[key] = out
         return out
 

@@ -296,3 +296,26 @@ class TestNewTypeRoundtrips:
                     "WA9XYZ KA1ABC R 16A EMA",
                     "K1ABC W9XYZ 579 WI"):
             assert not msg77.plausible_message_type(msg77.pack77(msg))
+
+
+class TestBoundedHashTable:
+    def test_fifo_eviction_at_cap(self, monkeypatch):
+        monkeypatch.setattr(msg77, "HASH_TABLE_MAX", 8)
+        h = msg77.CallsignHashTable()
+        calls = [f"K{i}ABC" for i in range(1, 13)]  # 12 distinct calls
+        for c in calls:
+            h.add(c)
+        assert len(h.h22) <= 8
+        # the most recent calls survive, the oldest were evicted
+        assert h.lookup(h.h22, msg77.ihashcall("K12ABC", 22)) == "<K12ABC>"
+        assert h.lookup(h.h22, msg77.ihashcall("K1ABC", 22)) == "<...>"
+
+    def test_readd_refreshes_age(self, monkeypatch):
+        monkeypatch.setattr(msg77, "HASH_TABLE_MAX", 4)
+        h = msg77.CallsignHashTable()
+        for c in ("K1ABC", "W2DEF", "N3GHI", "K4JKL"):
+            h.add(c)
+        h.add("K1ABC")  # refresh: K1ABC becomes newest
+        h.add("W5MNO")  # evicts W2DEF (now the oldest), not K1ABC
+        assert h.lookup(h.h22, msg77.ihashcall("K1ABC", 22)) == "<K1ABC>"
+        assert h.lookup(h.h22, msg77.ihashcall("W2DEF", 22)) == "<...>"

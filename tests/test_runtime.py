@@ -424,3 +424,14 @@ class TestScopedMetrics:
                                       "--scan-depth", "3"],
                           env_extra={"MSK144_TPU_METRICS": "0"})
         assert "Measured time:" not in err
+
+
+class TestDecodeCacheBound:
+    def test_cache_evicts_fifo_at_cap(self, monkeypatch):
+        from msk144cudecoder_tpu.runtime import decoder as dec_mod
+        monkeypatch.setattr(dec_mod, "DECODE_CACHE_MAX", 4)
+        dec = StreamDecoder(CFG_SMALL)
+        rng = np.random.default_rng(0)
+        for _ in range(16):
+            dec._unpack_cached(rng.integers(0, 2, 77).astype(np.int8))
+        assert len(dec._decode_cache) <= 4
