@@ -94,6 +94,11 @@ def _tables() -> dict:
         r = e // T.MAX_ROW_DEGREE
         GRP[e, r] = 1.0
         BACK[r, e] = 1.0
+    # NOTE: a fused GRPSUM = GRP @ BACK (418x418 same-check block-diagonal)
+    # was tried in round 4 to halve the matmul count here — it LOST on v5e
+    # in both precision modes (fast 0.045 -> 0.062, exact 0.069 -> 0.088
+    # ms/win at B=16): BP is MXU-FLOP-bound and the (512, 512)-padded fused
+    # operand costs 2x the FLOPs of the (512, 128) two-step pair.
     return {
         "edge_valid_f": edge_valid.astype(np.float32).reshape(_NE),
         "SEL_BIT": SEL_BIT,

@@ -42,6 +42,7 @@ from .ldpc import _LOG_FLOOR, BPResult, _tables, platanh
 
 _NE = T.N_CHECKS * T.MAX_ROW_DEGREE  # 418
 _EPAD = 512  # edge axis padded to full lane tiles
+_CRC_LANE = 64  # lane offset of the CRC columns in the fused parity matrix
 
 
 @functools.lru_cache(maxsize=None)
@@ -56,24 +57,28 @@ def _kernel_tables() -> dict:
     grp[:_NE, :] = t["GRP"]
     back = np.zeros((128, _EPAD), np.float32)
     back[:, :_NE] = t["BACK"]
-    count_m = np.zeros((128, 128), np.float32)
-    count_m[:, : T.N_CHECKS] = t["COUNT_M"]
-    crc_m = np.zeros((128, 128), np.float32)
-    crc_m[:77, :13] = t["CRC_M"]
+    # parity + CRC as ONE matmul: lanes [0,38) count each check row's set
+    # bits, lanes [64,77) count each CRC bit's contributing payload bits
+    # (CRC_M rows >= 77 are all-zero, so no payload masking is needed).
+    # One shared floor pass then yields both parities.
+    parcrc = np.zeros((128, 128), np.float32)
+    parcrc[:, : T.N_CHECKS] = t["COUNT_M"]
+    parcrc[:77, _CRC_LANE : _CRC_LANE + 13] = t["CRC_M"]
     # lane masks packed as one (8, 512) f32 operand:
     # row 0: edge_valid; row 2 lanes<38: ones (check mask);
-    # row 3 lanes [77,90): ones (CRC-bit positions)
+    # row 3 lanes [77,90): ones (CRC field of the codeword);
+    # row 4 lanes [64,77): ones (CRC lanes of the parcrc output)
     masks = np.zeros((8, _EPAD), np.float32)
     masks[0, :_NE] = t["edge_valid_f"]
     masks[2, : T.N_CHECKS] = 1.0
     masks[3, 77:90] = 1.0
+    masks[4, _CRC_LANE : _CRC_LANE + 13] = 1.0
     return {
         "SEL_BIT": sel_bit.astype(jnp.bfloat16),
         "SEL_SUM": sel_sum.astype(jnp.bfloat16),
         "GRP": grp.astype(jnp.bfloat16),
         "BACK": back.astype(jnp.bfloat16),
-        "COUNT_M": count_m.astype(jnp.bfloat16),
-        "CRC_M": crc_m.astype(jnp.bfloat16),
+        "PARCRC": parcrc.astype(jnp.bfloat16),
         "MASKS": masks,
     }
 
@@ -109,7 +114,7 @@ def _sel_dot(x, sel_bf16):
 
 def _bp_kernel(max_iters: int, fast: bool,
                llr_ref, valid_ref,
-               sel_bit, sel_sum_r, grp_r, back_r, count_m, crc_m, masks_ref,
+               sel_bit, sel_sum_r, grp_r, back_r, parcrc_r, masks_ref,
                cw_out, meta_out,
                tov_ref, state_ref):
     llr = llr_ref[:, :]
@@ -119,15 +124,14 @@ def _bp_kernel(max_iters: int, fast: bool,
     sel_sum = sel_sum_r[:, :]
     grp = grp_r[:, :]
     back = back_r[:, :]
-    count_m = count_m[:, :]
-    crc_m = crc_m[:, :]
+    parcrc = parcrc_r[:, :]
     edge_valid = masks_ref[0:1, :] != 0.0
     check_mask = masks_ref[2:3, 0:128]
     crc_mask = masks_ref[3:4, 0:128]
+    crclane_mask = masks_ref[4:5, 0:128]
     hard_in = llr > 0.0
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (k, 128), 1)
-    in77 = lane128 < 77
 
     # state lanes: 0 = found, 1 = iterations, 2 = hard errors
     state_ref[:, :] = jnp.zeros((k, 128), jnp.float32)
@@ -151,21 +155,21 @@ def _bp_kernel(max_iters: int, fast: bool,
             zn = zn + _dot_bf16(part, sel_sum)
         cw = (zn > 0.0).astype(jnp.float32)  # (K, 128) 0/1
 
-        # parity + CRC gates (single-pass bf16: 0/1 operands, exact)
+        # parity + CRC gates in ONE matmul + one floor pass (single-pass
+        # bf16: 0/1 operands, counts <= 90 exact in the f32 accumulator):
+        # lanes<38 hold check-row sums, lanes [64,77) CRC-bit sums
         cw16 = cw.astype(jnp.bfloat16)
-        row_sum = _dot_bf16(cw16, count_m)  # (K, 128), lanes<38 live
+        row_sum = _dot_bf16(cw16, parcrc)  # (K, 128)
         row_par = row_sum - 2.0 * jnp.floor(row_sum * 0.5)
-        ncheck = jnp.sum(row_par * check_mask, axis=-1, keepdims=True)
-        crc_bits = _dot_bf16(jnp.where(in77, cw, 0.0).astype(jnp.bfloat16),
-                             crc_m)  # (K, 128), lanes<13 live
-        crc_bits = crc_bits - 2.0 * jnp.floor(crc_bits * 0.5)
-        # cw's CRC field (lanes 77:90) rolled onto lanes 0:13 for comparison
-        cw_crc = pltpu.roll(cw * crc_mask, 128 - 77, 1)
-        crc_diff = jnp.sum(jnp.abs(crc_bits - cw_crc[:, 0:128])
-                           * (lane128 < 13), axis=-1, keepdims=True)
+        # cw's own CRC field (lanes 77:90) rolled onto the CRC output lanes;
+        # unsatisfied checks and CRC mismatches sum into one reduction
+        cw_crc = pltpu.roll(cw * crc_mask, 128 - (77 - _CRC_LANE), 1)
+        bad = (row_par * check_mask
+               + jnp.abs(row_par - cw_crc[:, 0:128]) * crclane_mask)
+        nbad = jnp.sum(bad, axis=-1, keepdims=True)
         nerr = jnp.sum(jnp.abs(cw - hard_in.astype(jnp.float32)), axis=-1,
                        keepdims=True)
-        ok = ((ncheck == 0.0) & (crc_diff == 0.0)
+        ok = ((nbad == 0.0)
               & (nerr < float(C.MAX_HARD_ERRORS)) & valid)  # (K, 1)
 
         st = state_ref[:, :]
@@ -188,7 +192,10 @@ def _bp_kernel(max_iters: int, fast: bool,
 
         # leave-one-out via log-domain group sums (mirrors
         # ops.ldpc._loo_log_domain op for op — bit-identical): the group-sum
-        # and broadcast matmuls are exact-copy sums of split-3 parts
+        # and broadcast matmuls are exact-copy sums of split-3 parts.
+        # (A fused GRPSUM = GRP @ BACK single matmul lost in both modes on
+        # v5e — BP is MXU-FLOP-bound and the (512, 512) fused operand costs
+        # 2x the two-step FLOPs; see ops/ldpc._tables.)
         lt = jnp.log2(jnp.maximum(jnp.abs(t), _LOG_FLOOR))
         lsplit = _split2 if fast else _split3
         S = jnp.zeros((k, 128), jnp.float32)
@@ -251,7 +258,7 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
     cw, meta = pl.pallas_call(
         kernel,
         grid=(nstep,),
-        in_specs=[row_spec, row_spec] + [const] * 7,
+        in_specs=[row_spec, row_spec] + [const] * 6,
         out_specs=[row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
@@ -265,7 +272,7 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SUM"], tbl["GRP"],
-      tbl["BACK"], tbl["COUNT_M"], tbl["CRC_M"], jnp.asarray(tbl["MASKS"]))
+      tbl["BACK"], tbl["PARCRC"], jnp.asarray(tbl["MASKS"]))
 
     return BPResult(
         found=meta[:, 0] != 0.0,
