@@ -435,3 +435,32 @@ class TestDecodeCacheBound:
         for _ in range(16):
             dec._unpack_cached(rng.integers(0, 2, 77).astype(np.int8))
         assert len(dec._decode_cache) <= 4
+
+
+class TestGapPatternDecode:
+    """End-to-end decode of a gapped meteor ping: signal present only in
+    window frames {0, 3} — the reason the reference carries the two gap
+    averaging patterns 100100/100110 (msk_context.cuh:231-240, rows 6-7 of
+    PATTERN_MASKS). At this SNR no contiguous-prefix pattern decodes (frame 0
+    alone is too weak, prefixes 2..6 average in pure-noise frames); only the
+    matched gap pattern does."""
+
+    @staticmethod
+    def _gap_audio(msg, snr_db, seed, mask=(1, 0, 0, 1, 0, 0)):
+        rng = np.random.default_rng(seed)
+        sig = G.synthesize_baseband([(msg, 1500.0)], 6, snr_db=None)
+        fm = np.repeat(np.asarray(mask, np.float64), C.FRAME_LEN)
+        # same noise calibration as golden.synthesize_baseband
+        noise_sigma = np.sqrt(0.5 * (C.SAMPLE_RATE / 2) / 2500.0) * np.sqrt(2.0)
+        amp = np.sqrt(2.0 * 10 ** (snr_db / 10.0))
+        bb = amp * sig * fm + noise_sigma * (
+            rng.standard_normal(sig.size) + 1j * rng.standard_normal(sig.size))
+        return np.clip(np.round(bb.real * 1000.0), -32768, 32767).astype(np.int16)
+
+    @pytest.mark.parametrize("seed", [1, 3])
+    def test_gap_ping_decodes_via_pattern_6(self, seed):
+        cfg = DecoderConfig(search_width=100.0, scan_depth=8, max_survivors=512)
+        dec = StreamDecoder(cfg)
+        res = dec.decode_block(self._gap_audio("CQ K1ABC FN42", -2.0, seed))
+        assert [(r.message, r.pattern_idx, r.num_avg) for r in res] == [
+            ("CQ K1ABC FN42", 6, 2)]
