@@ -223,3 +223,19 @@ class TestBatchedDecodeRaw:
         for f in res_b._fields:
             a, b = np.asarray(getattr(res_b, f)), np.asarray(getattr(res_w, f))
             np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_bp_kernel_validated_on_tpu_hardware():
+    """Documents that the COMPILED BP kernel was validated against the jnp
+    oracle on real v5e hardware (tools/check_kernels_tpu.py — pytest itself
+    runs the kernels through the interpreter only, tests/conftest.py)."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "data" / "kernels_tpu_check.json"
+    rec = json.loads(p.read_text())
+    assert "TPU" in rec["device"]
+    assert rec["jnp_found"] > 0
+    for mode in ("exact", "fast"):
+        assert rec[mode]["found_eq"] and rec[mode]["codeword_eq"]
+        assert rec[mode]["iterations_eq"]
