@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate like the reference)")
     p.add_argument("--window-batch", type=int, default=1,
                    help="windows decoded per device call")
+    p.add_argument("--pipeline-depth", type=int, default=4,
+                   help="batches in flight in throughput mode (window-batch "
+                        "> 1): device calls for up to this many batches run "
+                        "concurrently while post-processing stays in stream "
+                        "order; 1 = fully synchronous (default 4)")
     p.add_argument("--exact-math", action="store_true",
                    help="exactness-verification precision instead of the "
                         "native TPU policy (bf16 inputs, f32 accumulation): "
@@ -186,27 +191,76 @@ def main(argv: Optional[List[str]] = None) -> int:
             emit(results, timer.milliseconds_elapsed(), 1)
             timer = SimpleTimer()
     else:
-        # Throughput mode: decode window_batch windows per device call.
-        # The batch shape is fixed (one jit compile); the stream tail is
-        # zero-padded and its pad results dropped.
+        # Throughput mode: decode window_batch windows per device call, with
+        # up to pipeline_depth batches' DEVICE calls in flight on a worker
+        # pool (each worker's dispatch+fetch round trips overlap the others',
+        # the same mechanism as bench.py's multi-stream protocol), while
+        # post-processing/emission stays strictly in stream order on this
+        # thread. The batch shape is fixed (one jit compile); the stream
+        # tail is zero-padded and its pad results dropped.
+        import time
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
+
+        depth = max(1, args.pipeline_depth)
+        pool = ThreadPoolExecutor(max_workers=depth)
+        pending: deque = deque()  # (future, n_valid) FIFO
+        n_done = 0  # windows post-processed so far
+        t_steady = None  # wall clock at first batch completion
+        last_done = None  # wall clock at previous batch completion
+
+        def drain_one():
+            nonlocal n_done, t_steady, last_done
+            fut, n = pending.popleft()
+            with ScopedMetric("device_wait_transfer"):
+                res = fut.result()
+            now = time.perf_counter()
+            ms = 0.0 if last_done is None else (now - last_done) * 1e3
+            last_done = now
+            if t_steady is None:
+                t_steady = now  # first batch = compile; exclude from steady state
+            else:
+                n_done += n
+            with ScopedMetric("postprocess"):
+                for results in decoder.postprocess_batch(res, n):
+                    emit(results, 0.0, 1)
+            emit([], ms, n)
+
+        def submit(batch_np: np.ndarray, n_valid: int):
+            while len(pending) >= depth:
+                drain_one()
+            pending.append((pool.submit(decoder.decode_to_host, batch_np),
+                            n_valid))
+            # opportunistically emit completed batches without blocking
+            while pending and pending[0][0].done():
+                drain_one()
 
         batch: list = []
         for window in windows:
             batch.append(window)
             if len(batch) == cfg.window_batch:
-                timer = SimpleTimer()
-                for results in decoder.decode_many(np.stack(batch)):
-                    emit(results, 0.0, 1)
-                emit([], timer.milliseconds_elapsed(), len(batch))
+                submit(np.stack(batch), cfg.window_batch)
                 batch = []
         if batch:
             n = len(batch)
             pad = [np.zeros_like(batch[0])] * (cfg.window_batch - n)
-            timer = SimpleTimer()
-            for results in decoder.decode_many(np.stack(batch + pad), n_valid=n):
-                emit(results, 0.0, 1)
-            emit([], timer.milliseconds_elapsed(), n)
+            submit(np.stack(batch + pad), n)
+        while pending:
+            drain_one()
+        pool.shutdown()
+        if n_done and t_steady is not None and last_done is not None \
+                and last_done > t_steady:
+            wall = last_done - t_steady
+            ms_per = wall / n_done * 1e3
+            rtf = (n_done * C.HOP_LEN) / wall / C.SAMPLE_RATE
+            print(
+                f"Throughput: {n_done} windows in {wall:.2f} s = "
+                f"{ms_per:.3f} ms/window ({rtf:,.1f}x real time, "
+                f"steady-state after first batch)",
+                file=sys.stderr,
+            )
 
     if args.profile_dir:
         import jax

@@ -23,6 +23,7 @@ import numpy as np
 from .. import constants as C
 from ..config import DecoderConfig
 from . import analytic, ldpc, scan, softbits
+from .tables import FreqTables
 
 _N = C.WINDOW_LEN
 
@@ -580,20 +581,28 @@ def _demod_tiered_batched(c, freqs, cfg, pos_f, f_idx, p_idx, P: int):
             jnp.concatenate(nbad_parts, axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
-    """Jitted: batch of raw windows (B, raw_len) -> batched results.
+def decode_windows(c: jnp.ndarray, freqs, cfg: DecoderConfig,
+                   chan_valid: jnp.ndarray | None = None
+                   ) -> WindowDecodeResult:
+    """Batched decode of preprocessed analytic windows (B, N) -> batched
+    results — the throughput formulation shared by the single-device and
+    sharded paths.
 
     The demod and BP kernels are op-dispatch-bound, so both run
     WINDOW-BATCHED instead of vmap'd: the tiered demod stacks
     _DEMOD_WIN_BLK windows per grid step, and BP runs once on the whole
-    batch's survivors (B*K rows, row-chunked onto the grid)."""
-    c = preprocess(raw, cfg)
-    freqs = tuple(float(f) for f in cfg.freqs)
+    batch's survivors (B*K rows, row-chunked onto the grid).
+
+    `freqs` is either a static tuple (single device: tables become jit
+    constants) or a tables.FreqTables of arrays (shard_map: each device gets
+    its frequency-axis slice — shapes below derive from the table arrays, so
+    inside shard_map everything is sized to the LOCAL frequency slice).
+    `chan_valid` masks sharding-pad channels; see prepare_window."""
+    F = freqs.W.shape[0] if isinstance(freqs, FreqTables) else len(freqs)
     use_pallas = resolve_use_pallas(cfg)
-    nc = (cfg.num_freqs * cfg.scan_depth * cfg.candidates_per_pattern)
+    nc = F * cfg.scan_depth * cfg.candidates_per_pattern
     pre = resolve_prefilter(cfg, nc, use_pallas)
-    cells = cfg.num_freqs * cfg.scan_depth
+    cells = F * cfg.scan_depth
     per_cell = cfg.prefilter_per_cell
     while per_cell < cfg.candidates_per_pattern and cells * per_cell < pre:
         per_cell += 1
@@ -607,23 +616,33 @@ def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
             w, freqs, cfg.scan_depth, fast_math=cfg.fast_math,
             num_cand=cfg.candidates_per_pattern))(c)
         front = jax.vmap(lambda pw, xw: prefilter_select(
-            xw, pw, pre, per_cell, None))(pos, xb)
+            xw, pw, pre, per_cell, chan_valid))(pos, xb)
         sb_f, nbad_f = _demod_tiered_batched(
             c, freqs, cfg, front[1], front[2], front[3], cfg.scan_depth)
         prep = jax.vmap(
             lambda w, po, xo, fr0, fr1, fr2, fr3, fr4, sbw, nbw:
-            prepare_window(w, freqs, cfg, scanned=(po, xo),
+            prepare_window(w, freqs, cfg, chan_valid=chan_valid,
+                           scanned=(po, xo),
                            front=(fr0, fr1, fr2, fr3, fr4),
                            demod=(sbw, nbw))
         )(c, pos, xb, *front, sb_f, nbad_f)
     else:
-        prep = jax.vmap(lambda w: prepare_window(w, freqs, cfg))(c)
+        prep = jax.vmap(lambda w: prepare_window(
+            w, freqs, cfg, chan_valid=chan_valid))(c)
     b, k = prep.llr.shape[0], prep.llr.shape[1]
     bp_flat = bp_stage(prep.llr.reshape(b * k, 128),
                        prep.valid.reshape(b * k), cfg)
     bp = jax.tree_util.tree_map(
         lambda a: a.reshape((b, k) + a.shape[1:]), bp_flat)
     return jax.vmap(lambda pr, bb: finish_window(pr, bb, cfg))(prep, bp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_raw(raw: jnp.ndarray, cfg: DecoderConfig) -> WindowDecodeResult:
+    """Jitted: batch of raw windows (B, raw_len) -> batched results (see
+    decode_windows; frequency tables are jit constants from cfg)."""
+    c = preprocess(raw, cfg)
+    return decode_windows(c, tuple(float(f) for f in cfg.freqs), cfg)
 
 
 def raw_window_len(cfg: DecoderConfig) -> int:

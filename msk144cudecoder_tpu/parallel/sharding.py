@@ -108,8 +108,11 @@ class MeshDecoder:
             # outside the requested width nor compete for survivor slots
             chan0 = jax.lax.axis_index("freq").astype(jnp.int32) * local_f
             chan_valid = chan0 + jnp.arange(local_f, dtype=jnp.int32) < n_real
-            res = jax.vmap(lambda w: pipeline.decode_window_tables(
-                w, tbl_local, cfg, chan_valid=chan_valid))(c)
+            # the same batched formulation as the single-device decode_raw
+            # (window-batched tiered demod, flat-batch BP across the local
+            # time batch) — sized to the LOCAL frequency slice
+            res = pipeline.decode_windows(c, tbl_local, cfg,
+                                          chan_valid=chan_valid)
             offset = jax.lax.axis_index("freq").astype(jnp.int32) * local_cand
             res = res._replace(
                 cand_index=res.cand_index + offset,

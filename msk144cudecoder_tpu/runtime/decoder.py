@@ -79,9 +79,25 @@ class StreamDecoder:
         """Decode a (B, raw_len) batch in one device call; post-process each
         window in stream order (SNR EMA and dedup scopes stay sequential).
         n_valid < B ignores trailing pad windows (batch-tail flush)."""
-        res = jax_to_host(pipeline.decode_raw(np.asarray(raw_batch), self.cfg))
+        res = self.decode_to_host(raw_batch)
         n = len(raw_batch) if n_valid is None else n_valid
-        return [self._postprocess_one(res, b) for b in range(n)]
+        return self.postprocess_batch(res, n)
+
+    def decode_to_host(self, raw_batch: np.ndarray) -> "pipeline.WindowDecodeResult":
+        """Device decode of a (B, raw_len) batch + blocking result fetch,
+        WITHOUT host post-processing. Thread-safe (pure function of the
+        batch), so a pipelined driver can run several batches' device calls
+        concurrently — overlapping each call's dispatch+fetch round trips,
+        exactly like bench.py's multi-stream protocol — while post-processing
+        (stateful: SNR EMA, dedup scope) stays sequential on the caller."""
+        return jax_to_host(pipeline.decode_raw(np.asarray(raw_batch), self.cfg))
+
+    def postprocess_batch(self, res: "pipeline.WindowDecodeResult",
+                          n_valid: int) -> List[List[ResultItem]]:
+        """Sequential host post-processing of a fetched batch result, in
+        stream order. NOT thread-safe; call from one thread, batches in
+        stream order."""
+        return [self._postprocess_one(res, b) for b in range(n_valid)]
 
     # -- host side --------------------------------------------------------
 

@@ -7,7 +7,15 @@ with use_pallas forced on — i.e. the traced-W/traced-B Mosaic compile — and
 asserts decode parity against the unsharded jit-constant path on the same
 synthetic stimulus.
 
-Run: python tools/check_mesh_tpu.py   (needs the real TPU; ~1 min compile)
+Round-4 addition (VERDICT Missing #1): MeshDecoder now runs the same batched
+formulations as decode_raw (window-batched tiered demod, flat-batch BP), so
+this tool also measures deep-scan THROUGHPUT through the (1,1)-mesh shard_map
+path vs the unsharded jit on identical device-resident batches, and asserts
+the sharded ms/window lands within 1.15x of the unsharded figure (the
+BASELINE.md scaling row's single-chip anchor: per-chip speed must not regress
+when the same pipeline is laid out over a mesh).
+
+Run: python tools/check_mesh_tpu.py   (needs the real TPU; ~2 min compile)
 Committed output: tests/data/mesh_tpu_check.json (read by tests/test_sharding.py
 to document that the hardware validation happened).
 """
@@ -95,6 +103,68 @@ def main() -> int:
     xb_close = np.allclose(xa[:n], xe[:n], rtol=2e-5, atol=1e-2)
     report["parity_xb_close"] = bool(xb_close)
     assert xb_close, "xb mismatch between sharded and plain paths"
+
+    # ---- deep-scan throughput: (1,1)-mesh shard_map vs unsharded jit ----
+    # Same protocol as bench.py's headline: batch 128, device-resident
+    # input, 4 concurrent host streams to overlap the dev tunnel's
+    # dispatch+fetch round trips. The assert is the BASELINE scaling row's
+    # single-chip anchor: the mesh layout must not regress per-chip speed.
+    import threading
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg_deep = DecoderConfig(search_step=1.0, search_width=500.0,
+                             scan_depth=6, nbadsync_threshold=3,
+                             max_survivors=512, use_pallas=True)
+    batch, iters, streams = 128, 6, 4
+    rng2 = np.random.default_rng(1)
+    deep_audio = G.synthesize_audio_int16([(msg, 1500.0)], 6, snr_db=4.0,
+                                          rng=rng2)
+    deep_noise = rng2.normal(0.0, 1000.0, (batch - 1, C.WINDOW_LEN)
+                             ).astype(np.int16)
+    deep_raw = np.concatenate([deep_audio[None, :], deep_noise])
+
+    md_deep = MeshDecoder(cfg_deep, mesh)
+    in_shard = NamedSharding(mesh, P("time", None))
+
+    def time_path(fn, make_dev):
+        raws = [make_dev() for _ in range(streams)]
+        for r_ in raws:  # compile + per-buffer cache warm
+            np.asarray(fn(r_).found)
+        t0 = time.perf_counter()
+        ths = [threading.Thread(
+            target=lambda rd: [np.asarray(fn(rd).found)
+                               for _ in range(iters)], args=(r_,))
+            for r_ in raws]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        dt = time.perf_counter() - t0
+        return dt / (streams * iters * batch) * 1e3  # ms/window
+
+    ms_sharded = time_path(
+        md_deep.decode, lambda: jax.device_put(deep_raw, in_shard))
+    ms_plain = time_path(
+        lambda r_: pipeline.decode_raw(r_, cfg_deep),
+        lambda: jax.device_put(deep_raw, dev))
+    ratio = ms_sharded / ms_plain
+    print(f"deep-scan throughput: sharded (1,1) {ms_sharded:.3f} ms/window, "
+          f"unsharded {ms_plain:.3f} ms/window, ratio {ratio:.3f}", flush=True)
+    report["sharded_1x1_ms_per_window"] = round(ms_sharded, 4)
+    report["unsharded_ms_per_window"] = round(ms_plain, 4)
+    report["sharded_vs_unsharded_ratio"] = round(ratio, 4)
+    report["throughput_protocol"] = (
+        f"deep scan, batch {batch}, {streams} streams x {iters} iters, "
+        "device-resident input")
+    assert ratio <= 1.15, (
+        f"sharded (1,1) path is {ratio:.2f}x the unsharded ms/window")
+
+    # the planted deep-scan message must decode through the sharded path
+    res_deep = jax.tree_util.tree_map(
+        np.asarray, md_deep.decode(jax.device_put(deep_raw, in_shard)))
+    assert (0, msg) in decoded_set(res_deep), \
+        "sharded deep-scan path failed to decode the planted message"
 
     report["decodes"] = sorted(f"win{w}: {t}" for w, t in dec_sharded)
     report["ok"] = True
