@@ -6,8 +6,15 @@ Headline metric (BASELINE.md): real-time factor per chip on the deep scan
 new samples (216 ms of signal, main.cu:283-294); rtf = samples decoded per
 wall-second / 12000. vs_baseline is against the 1000x-per-chip north star.
 
+Besides the headline, the JSON line carries the full BASELINE.md metric
+surface: candidate_decodes_per_s (BP-decoded survivors/s and scanned
+candidates/s), batch-1 latency vs the 210 ms loop budget, IQ-mode and
+analytic-method-1 rtf rows, and the sharded (1,1)-mesh ms/window (the
+single-chip anchor of the scaling row; full parity evidence in
+tests/data/mesh_tpu_check.json via tools/check_mesh_tpu.py).
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -32,12 +40,26 @@ def main() -> int:
                         "measured on v5e at batch 128 native: 3 streams 803x, 4 815x)")
     p.add_argument("--quick", action="store_true",
                    help="small config for CI/CPU smoke runs")
+    p.add_argument("--headline-only", action="store_true",
+                   help="skip the secondary rows (IQ, method-1, sharded mesh)")
     p.add_argument("--exact", action="store_true",
                    help="exactness-verification precision instead of the "
                         "native policy (bf16 in / f32 accumulate); decode "
                         "behavior identical, ~24%% slower on v5e")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--hwtests", action="store_true",
+                   help="run tools/run_hwtests.py first (re-validates every "
+                        "compiled-kernel/mesh/CLI claim on the chip and "
+                        "re-pins tests/data/*.json); adds hwtests_ok to the "
+                        "JSON line")
     args = p.parse_args()
+
+    hwtests_ok = None
+    if args.hwtests:
+        import subprocess
+
+        hwtests_ok = subprocess.run(
+            [sys.executable, "tools/run_hwtests.py"]).returncode == 0
 
     if args.platform:
         import jax
@@ -73,9 +95,34 @@ def main() -> int:
     # Device-resident input: the metric is chip throughput (samples/s/chip).
     # On this infra the host<->device link is a network tunnel whose latency
     # would otherwise dominate; a production host feeds the chip locally and
-    # overlaps ingest with compute (double-buffered submit/collect).
-    raw_dev = jax.device_put(raw, dev)
+    # overlaps ingest with compute (double-buffered submit/collect — the
+    # CLI's pipelined batch mode; tools/check_cli_tpu.py measures that
+    # shell end-to-end).
 
+    def measure(fn, raw_np, streams, iters, batch, putter=None):
+        """ms/window through fn on `streams` concurrent host threads.
+        Every iteration's (compacted) found flags are fetched to the host —
+        a bare block_until_ready can report enqueue time rather than
+        execution time on tunneled runtimes, and a real consumer reads
+        results per window. Each dispatch+fetch pair pays this dev tunnel's
+        ~27 ms round trips (a production host does not have them);
+        independent streams from separate host threads overlap them."""
+        put = putter if putter is not None else (lambda a: jax.device_put(a, dev))
+        raws = [put(raw_np) for _ in range(streams)]
+        for r_ in raws:  # compile + warm every stream's buffer
+            np.asarray(fn(r_).found)
+        t0 = time.perf_counter()
+        ths = [threading.Thread(
+            target=lambda rd: [np.asarray(fn(rd).found) for _ in range(iters)],
+            args=(r_,)) for r_ in raws]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        dt = time.perf_counter() - t0
+        return dt / (streams * iters * batch) * 1e3
+
+    raw_dev = jax.device_put(raw, dev)
     t0 = time.perf_counter()
     res = pipeline.decode_raw(raw_dev, cfg)
     jax.block_until_ready(res)
@@ -85,41 +132,20 @@ def main() -> int:
     # sanity: the planted message must decode
     assert bool(np.asarray(res.found[0]).any()), "bench stimulus failed to decode"
 
-    # Every iteration's (compacted) found flags are fetched to the host — a
-    # bare block_until_ready can report enqueue time rather than execution
-    # time on tunneled runtimes, and a real consumer reads results per
-    # window. Each dispatch+fetch pair pays this dev tunnel's ~27 ms round
-    # trips (a production host does not have them); independent streams from
-    # separate host threads overlap them (measured: 2 streams reach the
-    # device-compute bound; submit-all-then-collect on one stream does NOT).
-    import threading
-
-    raws = [raw_dev] + [jax.device_put(raw, dev)
-                        for _ in range(args.streams - 1)]
-
-    def stream_loop(raw_d):
-        for _ in range(args.iters):
-            r = pipeline.decode_raw(raw_d, cfg)
-            np.asarray(r.found)
-
-    for r_ in raws[1:]:  # warm the cache for every stream's buffer
-        np.asarray(pipeline.decode_raw(r_, cfg).found)
-    t0 = time.perf_counter()
-    if args.streams == 1:
-        stream_loop(raws[0])
-    else:
-        ths = [threading.Thread(target=stream_loop, args=(r_,)) for r_ in raws]
-        for t in ths:
-            t.start()
-        for t in ths:
-            t.join()
-    elapsed = time.perf_counter() - t0
-
-    per_window_s = elapsed / (args.streams * args.iters * args.batch)
+    ms_win = measure(lambda r_: pipeline.decode_raw(r_, cfg), raw,
+                     args.streams, args.iters, args.batch)
+    per_window_s = ms_win / 1e3
     samples_per_s = C.HOP_LEN / per_window_s
     rtf = samples_per_s / C.SAMPLE_RATE
-    print(f"bench: {per_window_s*1e3:.2f} ms/window  {samples_per_s:,.0f} samples/s  "
-          f"rtf={rtf:,.1f}x", file=sys.stderr)
+    # candidate decode rates (BASELINE.md metric): BP-decoded survivors per
+    # second (each window batch-decodes the full static K-survivor LDPC
+    # batch) and scan candidates searched per second (F * depth * 8 sync
+    # lags demodulation-ranked per window)
+    cand_decodes_per_s = cfg.max_survivors / per_window_s
+    cand_scanned_per_s = cfg.num_candidates / per_window_s
+    print(f"bench: {ms_win:.2f} ms/window  {samples_per_s:,.0f} samples/s  "
+          f"rtf={rtf:,.1f}x  {cand_decodes_per_s:,.0f} BP decodes/s  "
+          f"{cand_scanned_per_s:,.0f} candidates scanned/s", file=sys.stderr)
 
     # batch-1 latency: the real-time streaming case (one 432 ms window per
     # call, fetch results) must land far inside the 216 ms loop budget
@@ -136,15 +162,68 @@ def main() -> int:
     print(f"bench: batch-1 latency {latency_b1_ms:.2f} ms/loop "
           f"(budget 210 ms)", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "real_time_factor_deep_scan" if not args.quick else "real_time_factor_quick",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 1000.0, 4),
         "latency_b1_ms": round(latency_b1_ms, 2),
         "peak_samples_per_s": round(samples_per_s),
+        "candidate_decodes_per_s": round(cand_decodes_per_s),
+        "candidates_scanned_per_s": round(cand_scanned_per_s),
         "batch": args.batch,
-    }))
+    }
+    if hwtests_ok is not None:
+        out["hwtests_ok"] = hwtests_ok
+
+    if not args.headline_only:
+        sec_iters = max(2, args.iters // 4)
+
+        # IQ read mode (read_mode=2: 2x8-bit signed, LPF-only preprocessing,
+        # center 0 Hz — main.cu:334-381)
+        cfg_iq = cfg.replace(read_mode=2, center_frequency=0.0)
+        iq = G.synthesize_iq_int8([("CQ K1ABC FN42", 0.0)], 6, snr_db=4.0,
+                                  rng=np.random.default_rng(2))
+        iq_noise = (np.random.default_rng(3).normal(0.0, 16.0,
+                    (args.batch - 1, 2 * C.WINDOW_LEN))).astype(np.int8)
+        raw_iq = np.concatenate([iq[None, :], iq_noise])
+        res_iq = pipeline.decode_raw(jax.device_put(raw_iq, dev), cfg_iq)
+        assert bool(np.asarray(res_iq.found[0]).any()), "IQ stimulus failed to decode"
+        ms_iq = measure(lambda r_: pipeline.decode_raw(r_, cfg_iq), raw_iq,
+                        args.streams, sec_iters, args.batch)
+        out["rtf_iq_mode"] = round(C.HOP_LEN / (ms_iq / 1e3) / C.SAMPLE_RATE, 2)
+        print(f"bench: IQ mode {ms_iq:.2f} ms/window rtf={out['rtf_iq_mode']:,}x",
+              file=sys.stderr)
+
+        # analytic method 1 (8192-pt FFT Hilbert + band filter)
+        cfg_m1 = cfg.replace(analytic_method=1)
+        res_m1 = pipeline.decode_raw(raw_dev, cfg_m1)
+        assert bool(np.asarray(res_m1.found[0]).any()), "method-1 stimulus failed to decode"
+        ms_m1 = measure(lambda r_: pipeline.decode_raw(r_, cfg_m1), raw,
+                        args.streams, sec_iters, args.batch)
+        out["rtf_analytic_method1"] = round(C.HOP_LEN / (ms_m1 / 1e3) / C.SAMPLE_RATE, 2)
+        print(f"bench: method 1 {ms_m1:.2f} ms/window "
+              f"rtf={out['rtf_analytic_method1']:,}x", file=sys.stderr)
+
+        # sharded (1,1)-mesh path: the BASELINE scaling row's single-chip
+        # anchor — the shard_map layout must match the unsharded jit
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from msk144cudecoder_tpu.parallel.sharding import MeshDecoder, make_mesh
+
+        mesh = make_mesh(n_time=1, n_freq=1, devices=[dev])
+        md = MeshDecoder(cfg, mesh)
+        in_shard = NamedSharding(mesh, P("time", None))
+        res_sh = md.decode(jax.device_put(raw, in_shard))
+        assert bool(np.asarray(res_sh.found[0]).any()), "sharded stimulus failed to decode"
+        ms_sh = measure(md.decode, raw, args.streams, sec_iters, args.batch,
+                        putter=lambda a: jax.device_put(a, in_shard))
+        out["sharded_1x1_ms_per_window"] = round(ms_sh, 4)
+        out["sharded_vs_unsharded_ratio"] = round(ms_sh / ms_win, 4)
+        print(f"bench: sharded (1,1) mesh {ms_sh:.2f} ms/window "
+              f"(ratio {ms_sh / ms_win:.3f} vs unsharded)", file=sys.stderr)
+
+    print(json.dumps(out))
     return 0
 
 

@@ -324,24 +324,18 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
             per_cell += 1
         if front is not None:
             xb_f, pos_f, f_idx, p_idx, pre_idx = front
-            pattern_major = True
-        elif per_cell < pos.shape[2]:
+        else:
+            # always the pattern-quota'd selection, even at per_cell = 8
+            # (no cell cap): a single global top-`pre` by xb would flood
+            # with high-num_avg candidates and starve the pattern-0 rows
+            # the reference prints (tests/test_busyband.py exercises this)
             xb_f, pos_f, f_idx, p_idx, pre_idx = prefilter_select(
                 xb, pos, pre, per_cell, chan_valid)
-            pattern_major = True  # per-pattern quota runs, contiguous
-        else:
-            xb_m = xb if chan_valid is None else jnp.where(
-                chan_valid[:, None, None], xb, 0.0)
-            xb_f, pre_idx = jax.lax.top_k(xb_m.reshape(nc), pre)
-            per_f = pos.shape[1] * pos.shape[2]
-            f_idx = pre_idx // per_f
-            p_idx = (pre_idx % per_f) // pos.shape[2]
-            pos_f = pos.reshape(nc)[pre_idx]
-            pattern_major = False
+        pattern_major = True  # per-pattern quota runs, contiguous
         if demod is not None:
             # decode_raw ran the window-batched tiered demod outside
             sb_f, nbad_f = demod
-        elif use_pallas and pattern_major:
+        elif use_pallas:
             # tiered demod: one kernel call per pattern segment, paying only
             # for that pattern's active frames (the average pattern mix has
             # ~42% zero-mask rows under the flat 6-frame layout)
@@ -364,9 +358,6 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
                 nbad_parts.append(nbp[:n])
             sb_f = jnp.concatenate(sb_parts)
             nbad_f = jnp.concatenate(nbad_parts)
-        elif use_pallas:
-            sb_f, nbad_f = pallas_survivor.demod_survivors(
-                c, freqs, pos_f, f_idx, p_idx, fast_math=cfg.fast_math)
         else:
             sb_f, nbad_f = pallas_survivor.demod_survivors_ref(
                 c, freqs, pos_f, f_idx, p_idx)
@@ -606,8 +597,7 @@ def decode_windows(c: jnp.ndarray, freqs, cfg: DecoderConfig,
     per_cell = cfg.prefilter_per_cell
     while per_cell < cfg.candidates_per_pattern and cells * per_cell < pre:
         per_cell += 1
-    flagship = (use_pallas and pre > 0
-                and per_cell < cfg.candidates_per_pattern)
+    flagship = use_pallas and pre > 0
 
     if flagship:
         from . import pallas_scan

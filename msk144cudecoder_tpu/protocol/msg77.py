@@ -717,8 +717,13 @@ def unpack77(bits77, hashes: Optional[CallsignHashTable] = None) -> Tuple[bool, 
     if i3 == 0 and n3 in (3, 4):
         return _unpack_field_day(bits, hashes, n3)
     if i3 == 0 and n3 == 5:
+        # telemetry displays as the full 18 hex digits (leading zeros
+        # preserved): stripping them would make the text re-pack as FREE
+        # TEXT (short digit strings without letters are not plausible
+        # telemetry), breaking pack/unpack round-trip identity —
+        # tests/test_protocol.py EDGE_ANSWER pins this
         v = _bits_to_int(bits[:71])
-        return True, f"{v:018X}".lstrip("0") or "0"
+        return True, f"{v:018X}"
     if i3 in (1, 2):
         return _unpack_standard(bits, hashes, i3)
     if i3 == 3:

@@ -155,10 +155,14 @@ class TestMsg77Roundtrip:
         assert out == "<...> W9XYZ FN42"
 
     def test_telemetry(self):
+        # telemetry displays as the full 18 hex digits: shorter TX input is
+        # zero-extended on receive (stripping zeros would re-pack as free
+        # text — see EDGE_ANSWER leading-zero vectors)
         h = msg77.CallsignHashTable()
         bits = msg77.pack77("123456789ABCDEF", h)
         ok, out = msg77.unpack77(bits, h)
-        assert ok and out == "123456789ABCDEF"
+        assert ok and out == "000123456789ABCDEF"
+        assert np.array_equal(msg77.pack77(out, h), bits)
 
     def test_free_text_13_chars(self):
         h = msg77.CallsignHashTable()
@@ -227,6 +231,36 @@ KNOWN_ANSWER = [
      ["G4ABC", "PA3XYZ"]),
 ]
 
+# Edge-case vectors (round-3 VERDICT item 4), derived by the same
+# independent script (tools/derive_kat.py derive_edge_answer): the
+# RR73-token-vs-grid ambiguity and its neighbor grids, g15 grid/report
+# boundary values, CQ modifiers (3-digit and 1..4-letter), 11-character
+# nonstandard calls at the c58 limit, iflip, and telemetry with leading
+# zeros (which must display as the full 18 digits to stay round-trippable).
+EDGE_ANSWER = [
+    ("1", "K1ABC W9XYZ RR64", "0137BC6A0C293B83F361", []),
+    ("1", "K1ABC W9XYZ R RR74", "0137BC6A0C293B87F3B1", []),
+    ("1", "K1ABC W9XYZ RRR", "0137BC6A0C293B83F491", []),
+    ("1", "K1ABC W9XYZ 73", "0137BC6A0C293B83F4A1", []),
+    ("1", "K1ABC W9XYZ", "0137BC6A0C293B83F489", []),
+    ("1", "K1ABC W9XYZ AA00", "0137BC6A0C293B800001", []),
+    ("1", "K1ABC W9XYZ RR99", "0137BC6A0C293B83F479", []),
+    ("1", "K1ABC W9XYZ -30", "0137BC6A0C293B83F4A9", []),
+    ("1", "K1ABC W9XYZ R+32", "0137BC6A0C293B87F699", []),
+    ("1", "CQ 000 K1ABC FN42", "0000000609BDE3514331", []),
+    ("1", "CQ 999 K1ABC FN42", "000007D409BDE3514331", []),
+    ("1", "CQ TEST K1ABC FN42", "000C2BF209BDE3514331", []),
+    ("1", "CQ A K1ABC FN42", "0000A19C09BDE3514331", []),
+    ("1", "CQ ZZZZ K1ABC FN42", "00103FB609BDE3514331", []),
+    ("4", "CQ 3XY1ABCD/MM", "000036DBCB5E0AAB0A8C", []),
+    ("4", "<K1ABC> VK9ABCDE/MM 73", "16476B1E216DEFBB4EB4", ["K1ABC"]),
+    ("4", "PJ4/K1ABC <W9XYZ> RRR", "1E6200347462395400D4", ["W9XYZ"]),
+    ("0.5", "000000000000000001", "00000000000000000068", []),
+    ("0.5", "0000000000000000FF", "00000000000000003FE8", []),
+]
+
+ALL_ANSWER = KNOWN_ANSWER + EDGE_ANSWER
+
 
 def _hex_to_bits77(hx: str) -> np.ndarray:
     v = int(hx, 16)
@@ -234,8 +268,8 @@ def _hex_to_bits77(hx: str) -> np.ndarray:
 
 
 class TestMsg77KnownAnswers:
-    @pytest.mark.parametrize("typ,msg,hx,seeds", KNOWN_ANSWER,
-                             ids=[f"{t}-{m[:18]}" for t, m, _, _ in KNOWN_ANSWER])
+    @pytest.mark.parametrize("typ,msg,hx,seeds", ALL_ANSWER,
+                             ids=[f"{t}-{m[:18]}" for t, m, _, _ in ALL_ANSWER])
     def test_pack_matches_spec(self, typ, msg, hx, seeds):
         bits = msg77.pack77(msg, msg77.CallsignHashTable())
         assert bits.shape == (77,)
@@ -243,14 +277,45 @@ class TestMsg77KnownAnswers:
         exp = "".join(str(int(b)) for b in _hex_to_bits77(hx))
         assert got == exp, f"{typ} {msg}: packed bits differ from spec"
 
-    @pytest.mark.parametrize("typ,msg,hx,seeds", KNOWN_ANSWER,
-                             ids=[f"{t}-{m[:18]}" for t, m, _, _ in KNOWN_ANSWER])
+    @pytest.mark.parametrize("typ,msg,hx,seeds", ALL_ANSWER,
+                             ids=[f"{t}-{m[:18]}" for t, m, _, _ in ALL_ANSWER])
     def test_unpack_matches_spec(self, typ, msg, hx, seeds):
         h = msg77.CallsignHashTable()
         for s in seeds:
             h.add(s)
         ok, out = msg77.unpack77(_hex_to_bits77(hx), h)
         assert ok and out == msg
+
+    def test_tables_match_independent_derivation(self):
+        """Cross-implementation check: tools/derive_kat.py re-derives every
+        vector from the published field tables with no import of msg77; the
+        committed literals must match it exactly (VERDICT r3 item 4)."""
+        import importlib.util
+        import pathlib
+
+        p = pathlib.Path(__file__).resolve().parents[1] / "tools" / "derive_kat.py"
+        spec = importlib.util.spec_from_file_location("derive_kat", p)
+        dk = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(dk)
+        assert [tuple(v) for v in dk.derive_known_answer()] == [
+            tuple(v) for v in KNOWN_ANSWER]
+        assert [tuple(v) for v in dk.derive_edge_answer()] == [
+            tuple(v) for v in EDGE_ANSWER]
+
+    def test_hash_collision_display(self):
+        """Two distinct calls with colliding 10-bit hashes (found by
+        tools/derive_kat.py find_hash_collision): the table keeps the most
+        recently heard call per hash, so the display resolves to it."""
+        a, b = "K1AAT", "K1AQJ"
+        assert msg77.ihashcall(a, 10) == msg77.ihashcall(b, 10)
+        assert msg77.ihashcall(a, 22) != msg77.ihashcall(b, 22)
+        h = msg77.CallsignHashTable()
+        h.add(a)
+        h.add(b)  # most recent wins the h10 slot
+        bits = msg77.pack77(f"K1ABC RR73; W9XYZ <{a}> -08",
+                            msg77.CallsignHashTable())
+        ok, out = msg77.unpack77(bits, h)
+        assert ok and out == f"K1ABC RR73; W9XYZ <{b}> -08"
 
     def test_ihashcall_int64_overflow_semantics(self):
         """The 47055833459*n product overflows int64 for long calls; WSJT-X

@@ -1,0 +1,380 @@
+"""Derive the protocol known-answer vectors from the published 77-bit spec.
+
+This script is the WORK behind tests/test_protocol.py's KNOWN_ANSWER and
+EDGE_ANSWER tables: every vector's 77-bit payload is constructed here
+field-by-field from the published WSJT-X 77-bit message protocol — the field
+tables in the WSJT-X source distribution's lib/77bit documentation and the
+QEX paper "The FT4 and FT8 Communication Protocols" (Franke, Somerville,
+Taylor), which define the exact integer encodings reproduced below. It
+deliberately imports NOTHING from msk144cudecoder_tpu: the encoders here are
+an independent second implementation, so a transcription bug in
+protocol/msg77.py cannot silently validate itself (the reference gets this
+independence by linking the real Fortran packjt77,
+/root/reference/src/f_interop.cpp:25-29).
+
+Run:  python tools/derive_kat.py        # prints both tables as Python
+      python tools/derive_kat.py diff   # compares against the test tables
+
+tests/test_protocol.py re-derives both tables via derive_all() and asserts
+they equal the committed literals, so the cross-check runs in CI.
+
+Field encodings implemented (spec section in brackets):
+
+  c28  [callsign]  0=DE 1=QRZ 2=CQ; 3..1002 = "CQ 000".."CQ 999";
+                   1003..532443 = "CQ A".."CQ ZZZZ" (base-27 on " A..Z");
+                   NTOKENS..NTOKENS+2^22-1 = 22-bit hash reference;
+                   >= NTOKENS+2^22: standard callsign in the 6-character
+                   alignment c1 in " 0-9A-Z", c2 in "0-9A-Z", c3 in "0-9",
+                   c4..c6 in " A-Z", mixed-radix 37*36*10*27*27*27.
+  g15  [grid/report] 4-char Maidenhead AA00..RR99 -> (18*a+b)*100+10*c+d in
+                   0..32399; 32401=blank 32402=RRR 32403=RR73 32404=73;
+                   32435+rpt for numeric reports -30..+32 (ir flag carries
+                   the "R" prefix).
+  g25  [6-char locator] mixed radix 18*18*10*10*24*24.
+  h10/h12/h22 [hash] left-justify call in 11 chars over " 0-9A-Z/",
+                   fold base-38, multiply by 47055833459 (mod 2^64), keep
+                   the TOP m bits.
+  c58  [nonstd call] right-justify 11 chars over the same base-38 alphabet.
+  f71  [free text] 13 chars over " 0-9A-Z+-./?" (42), base-42, 71 bits.
+  t71  [telemetry] 18 hex digits, value < 2^71.
+
+Message layouts (MSB-first concatenation, 77 bits total):
+  i3=1/2 standard:  c28a ip1 c28b ip1 R1 g15 i3(3)
+  i3=3 RTTY RU:     TU1 c28a c28b R1 r3 s13 i3(3)
+  i3=4 nonstd:      h12 c58 iflip1 rpt2 icq1 i3(3)
+  i3=5 EU VHF:      h12 h22 R1 r3 s11 g25 i3(3)
+  i3=0 n3=0 free:   f71 n3(3) i3(3)
+  i3=0 n3=1 DXped:  c28a c28b h10 r5 n3(3) i3(3)
+  i3=0 n3=2 EU VHF: c28 ip1 R1 r3 s11 g25 pad2 n3(3) i3(3)
+  i3=0 n3=3/4 FD:   c28a c28b R1 ntx4 class3 section7 n3(3) i3(3)
+  i3=0 n3=5 telem:  t71 n3(3) i3(3)
+"""
+
+from __future__ import annotations
+
+import sys
+
+# --- published alphabets ---
+A1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+A2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+A3 = "0123456789"
+A4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+A_FREE = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-./?"
+A_HASH = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
+
+NTOKENS = 2063592
+MAX22 = 1 << 22
+MAXGRID4 = 32400
+
+RTTY_STATES = (
+    "AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD MA MI MN MS MO "
+    "MT NE NV NH NJ NM NY NC ND OH OK OR PA RI SC SD TN TX UT VT VA WA WV WI WY "
+    "NB NS QC ON MB SK AB BC NWT NF LB NU YT PEI DC"
+).split()
+FD_SECTIONS = (
+    "AB AK AL AR AZ BC CO CT DE EB EMA ENY EPA EWA GA GTA IA ID IL IN KS KY LA "
+    "LAX MAR MB MDC ME MI MN MO MS MT NC ND NE NFL NH NL NLI NM NNJ NNY NT NTX "
+    "NV OH OK ONE ONN ONS OR ORG PAC PR QC RI SB SC SCV SD SDG SF SFL SJV SK "
+    "SNJ STX SV TN TX UT VA VI VT WCF WI WMA WNY WPA WTX WV WWA WY DX"
+).split()
+
+
+# --- field encoders, written from the spec formulas ---
+
+
+def hash_call(call: str, m: int) -> int:
+    """n = base-38 fold of the call left-justified in 11 chars; the hash is
+    the top m bits of 47055833459*n mod 2^64."""
+    n = 0
+    for ch in call.strip().upper().ljust(11)[:11]:
+        n = 38 * n + max(A_HASH.find(ch), 0)
+    return ((47055833459 * n) % (1 << 64)) >> (64 - m)
+
+
+def c28_standard(call: str) -> int:
+    """Standard callsign -> 28-bit value (mixed radix over the 6-char
+    alignment). The caller supplies the exact 6-char alignment."""
+    c = call
+    assert len(c) == 6, call
+    n = A1.index(c[0])
+    n = n * 36 + A2.index(c[1])
+    n = n * 10 + A3.index(c[2])
+    n = n * 27 + A4.index(c[3])
+    n = n * 27 + A4.index(c[4])
+    n = n * 27 + A4.index(c[5])
+    return NTOKENS + MAX22 + n
+
+
+def c28_cq_digits(d: str) -> int:
+    assert len(d) == 3 and d.isdigit()
+    return 3 + int(d)
+
+
+def c28_cq_alpha(tail: str) -> int:
+    """'CQ A'..'CQ ZZZZ': base-27 over ' A..Z' of the 4-char left-justified
+    modifier, offset 3+1000."""
+    n = 0
+    for ch in tail.ljust(4):
+        n = 27 * n + A4.index(ch)
+    return 3 + 1000 + n
+
+
+def c28_hash22(call: str) -> int:
+    return NTOKENS + hash_call(call, 22)
+
+
+def g15_grid(grid: str) -> int:
+    a, b = ord(grid[0]) - 65, ord(grid[1]) - 65
+    return ((a * 18 + b) * 10 + int(grid[2])) * 10 + int(grid[3])
+
+
+def g15_token(tok: str) -> int:
+    return MAXGRID4 + {"": 1, "RRR": 2, "RR73": 3, "73": 4}[tok]
+
+
+def g15_report(rpt: int) -> int:
+    assert -30 <= rpt <= 32
+    return MAXGRID4 + 35 + rpt
+
+
+def g25_grid6(grid: str) -> int:
+    v = (ord(grid[0]) - 65) * 18 + (ord(grid[1]) - 65)
+    v = v * 10 + int(grid[2])
+    v = v * 10 + int(grid[3])
+    v = v * 24 + (ord(grid[4]) - 65)
+    v = v * 24 + (ord(grid[5]) - 65)
+    return v
+
+
+def c58(call: str) -> int:
+    """Nonstandard call: base-38 of the 11-char RIGHT-justified call."""
+    n = 0
+    for ch in call.rjust(11):
+        n = n * 38 + A_HASH.index(ch)
+    return n
+
+
+def f71(text: str) -> int:
+    n = 0
+    for ch in text.ljust(13)[:13]:
+        n = n * 42 + A_FREE.index(ch)
+    return n
+
+
+def compose(*fields) -> str:
+    """(value, width) fields, MSB-first -> the 77-bit payload integer as
+    20 hex digits (the tables' format; bit i of the payload is bit 76-i)."""
+    v, total = 0, 0
+    for val, w in fields:
+        assert 0 <= val < (1 << w), (val, w)
+        v = (v << w) | val
+        total += w
+    assert total == 77, total
+    return f"{v:020X}"
+
+
+# --- vector derivations (each is explicit field arithmetic) ---
+
+
+def derive_known_answer():
+    """The 24 original KNOWN_ANSWER vectors, two per i3/n3 type."""
+    return [
+        # 0.0 free text: f71 n3=0 i3=0
+        ("0.0", "TNX BOB 73 GL", compose((f71("TNX BOB 73 GL"), 71), (0, 3), (0, 3)), []),
+        ("0.0", "HELLO WORLD/1", compose((f71("HELLO WORLD/1"), 71), (0, 3), (0, 3)), []),
+        # 0.1 DXpedition: c28a c28b h10 r5 n3=1 i3=0; r5 = (rpt+30)/2
+        ("0.1", "K1ABC RR73; W9XYZ <KH1/KH7Z> -08",
+         compose((c28_standard(" K1ABC"), 28), (c28_standard(" W9XYZ"), 28),
+                 (hash_call("KH1/KH7Z", 10), 10), ((-8 + 30) // 2, 5),
+                 (1, 3), (0, 3)), ["KH1/KH7Z"]),
+        ("0.1", "WA9XYZ RR73; KA1ABC <PJ4/K1ABC> +02",
+         compose((c28_standard("WA9XYZ"), 28), (c28_standard("KA1ABC"), 28),
+                 (hash_call("PJ4/K1ABC", 10), 10), ((2 + 30) // 2, 5),
+                 (1, 3), (0, 3)), ["PJ4/K1ABC"]),
+        # 0.2 EU VHF: c28 ip1 R1 r3 s11 g25 pad2 n3=2 i3=0;
+        # exchange 590003: r3 = 59-52 = 7, serial 3
+        ("0.2", "PA3XYZ/P R 590003 IO91NP",
+         compose((c28_standard("PA3XYZ"), 28), (1, 1), (1, 1), (59 - 52, 3),
+                 (3, 11), (g25_grid6("IO91NP"), 25), (0, 2), (2, 3), (0, 3)), []),
+        ("0.2", "G4ABC 520047 JO22DB",
+         compose((c28_standard(" G4ABC"), 28), (0, 1), (0, 1), (52 - 52, 3),
+                 (47, 11), (g25_grid6("JO22DB"), 25), (0, 2), (2, 3), (0, 3)), []),
+        # 0.3/0.4 Field Day: c28a c28b R1 ntx4 class3 section7 n3 i3=0;
+        # ntx4 = transmitters-1 (n3=3) or -17 (n3=4); class A..H -> 0..7;
+        # section index is 1-based into the published section list
+        ("0.3", "WA9XYZ KA1ABC R 16A EMA",
+         compose((c28_standard("WA9XYZ"), 28), (c28_standard("KA1ABC"), 28),
+                 (1, 1), (16 - 1, 4), (0, 3), (FD_SECTIONS.index("EMA") + 1, 7),
+                 (3, 3), (0, 3)), []),
+        ("0.3", "K1ABC W9XYZ 6B WI",
+         compose((c28_standard(" K1ABC"), 28), (c28_standard(" W9XYZ"), 28),
+                 (0, 1), (6 - 1, 4), (1, 3), (FD_SECTIONS.index("WI") + 1, 7),
+                 (3, 3), (0, 3)), []),
+        ("0.4", "WA9XYZ KA1ABC R 32A EMA",
+         compose((c28_standard("WA9XYZ"), 28), (c28_standard("KA1ABC"), 28),
+                 (1, 1), (32 - 17, 4), (0, 3), (FD_SECTIONS.index("EMA") + 1, 7),
+                 (4, 3), (0, 3)), []),
+        ("0.4", "K1ABC W9XYZ 17D SNJ",
+         compose((c28_standard(" K1ABC"), 28), (c28_standard(" W9XYZ"), 28),
+                 (0, 1), (17 - 17, 4), (3, 3), (FD_SECTIONS.index("SNJ") + 1, 7),
+                 (4, 3), (0, 3)), []),
+        # 0.5 telemetry: t71 n3=5 i3=0
+        ("0.5", "123456789ABCDEF012",
+         compose((0x123456789ABCDEF012, 71), (5, 3), (0, 3)), []),
+        ("0.5", "7FFFFFFFFFFFFFFFFF",
+         compose(((1 << 71) - 1, 71), (5, 3), (0, 3)), []),
+        # i3=1 standard: c28a ip1 c28b ip1 R1 g15 i3
+        ("1", "CQ K1ABC FN42",
+         compose((2, 28), (0, 1), (c28_standard(" K1ABC"), 28), (0, 1), (0, 1),
+                 (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "K1ABC/R W9XYZ/R R FN42",
+         compose((c28_standard(" K1ABC"), 28), (1, 1), (c28_standard(" W9XYZ"), 28),
+                 (1, 1), (1, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ R-17",
+         compose((c28_standard(" K1ABC"), 28), (0, 1), (c28_standard(" W9XYZ"), 28),
+                 (0, 1), (1, 1), (g15_report(-17), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ RR73",
+         compose((c28_standard(" K1ABC"), 28), (0, 1), (c28_standard(" W9XYZ"), 28),
+                 (0, 1), (0, 1), (g15_token("RR73"), 15), (1, 3)), []),
+        # i3=2 standard with /P
+        ("2", "PA3XYZ/P G4ABC/P R JO22",
+         compose((c28_standard("PA3XYZ"), 28), (1, 1), (c28_standard(" G4ABC"), 28),
+                 (1, 1), (1, 1), (g15_grid("JO22"), 15), (2, 3)), []),
+        ("2", "G4ABC PA3XYZ/P 73",
+         compose((c28_standard(" G4ABC"), 28), (0, 1), (c28_standard("PA3XYZ"), 28),
+                 (1, 1), (0, 1), (g15_token("73"), 15), (2, 3)), []),
+        # i3=3 RTTY RU: TU1 c28a c28b R1 r3 s13; RST 579 -> r3 = 7-2 = 5;
+        # s13: states offset 8001, serials 1..7999 direct
+        ("3", "TU; W9XYZ K1ABC R 579 MA",
+         compose((1, 1), (c28_standard(" W9XYZ"), 28), (c28_standard(" K1ABC"), 28),
+                 (1, 1), (7 - 2, 3), (8001 + RTTY_STATES.index("MA"), 13), (3, 3)), []),
+        ("3", "K1ABC W9XYZ 529 0013",
+         compose((0, 1), (c28_standard(" K1ABC"), 28), (c28_standard(" W9XYZ"), 28),
+                 (0, 1), (2 - 2, 3), (13, 13), (3, 3)), []),
+        # i3=4 nonstd: h12 c58 iflip1 rpt2 icq1; rpt 0='' 1=RRR 2=RR73 3=73
+        ("4", "<W9XYZ> PJ4/K1ABC RR73",
+         compose((hash_call("W9XYZ", 12), 12), (c58("PJ4/K1ABC"), 58), (0, 1),
+                 (2, 2), (0, 1), (4, 3)), ["W9XYZ"]),
+        ("4", "CQ KH1/KH7Z",
+         compose((0, 12), (c58("KH1/KH7Z"), 58), (0, 1), (0, 2), (1, 1), (4, 3)), []),
+        # i3=5 EU VHF hashed: h12 h22 R1 r3 s11 g25
+        ("5", "<PA3XYZ> <G4ABC> R 570123 JO22DB",
+         compose((hash_call("PA3XYZ", 12), 12), (hash_call("G4ABC", 22), 22),
+                 (1, 1), (57 - 52, 3), (123, 11), (g25_grid6("JO22DB"), 25),
+                 (5, 3)), ["PA3XYZ", "G4ABC"]),
+        ("5", "<G4ABC> <PA3XYZ> 550001 IO91NP",
+         compose((hash_call("G4ABC", 12), 12), (hash_call("PA3XYZ", 22), 22),
+                 (0, 1), (55 - 52, 3), (1, 11), (g25_grid6("IO91NP"), 25),
+                 (5, 3)), ["G4ABC", "PA3XYZ"]),
+    ]
+
+
+def derive_edge_answer():
+    """Round-3 VERDICT item 4 edge cases: g15 RR73-vs-grid ambiguity,
+    grid/report boundary values, CQ modifiers, 11-char nonstandard calls,
+    telemetry with leading zeros."""
+    std = lambda a, b: ((c28_standard(a), 28), (0, 1), (c28_standard(b), 28), (0, 1))
+    K, W = " K1ABC", " W9XYZ"
+    return [
+        # RR73 the TOKEN vs RR64/RR74 the GRIDs: 'RR73' is itself a valid
+        # Maidenhead square, but the protocol reserves it as a token —
+        # a station actually in RR73 cannot send it as a grid. Its
+        # neighbors RR64/RR74 pack as grids; only exact 'RR73' diverts.
+        ("1", "K1ABC W9XYZ RR64",
+         compose(*std(K, W), (0, 1), (g15_grid("RR64"), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ R RR74",
+         compose(*std(K, W), (1, 1), (g15_grid("RR74"), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ RRR",
+         compose(*std(K, W), (0, 1), (g15_token("RRR"), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ 73",
+         compose(*std(K, W), (0, 1), (g15_token("73"), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ",
+         compose(*std(K, W), (0, 1), (g15_token(""), 15), (1, 3)), []),
+        # grid boundaries: AA00 = 0, RR99 = 32399 (the g15 extremes)
+        ("1", "K1ABC W9XYZ AA00",
+         compose(*std(K, W), (0, 1), (0, 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ RR99",
+         compose(*std(K, W), (0, 1), (32399, 15), (1, 3)), []),
+        # report boundaries: -30 and +32 are the g15 report field limits
+        ("1", "K1ABC W9XYZ -30",
+         compose(*std(K, W), (0, 1), (g15_report(-30), 15), (1, 3)), []),
+        ("1", "K1ABC W9XYZ R+32",
+         compose(*std(K, W), (1, 1), (g15_report(32), 15), (1, 3)), []),
+        # CQ modifiers: 3-digit (c28 = 3+ddd) and 1..4-letter (base-27)
+        ("1", "CQ 000 K1ABC FN42",
+         compose((c28_cq_digits("000"), 28), (0, 1), (c28_standard(K), 28),
+                 (0, 1), (0, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "CQ 999 K1ABC FN42",
+         compose((c28_cq_digits("999"), 28), (0, 1), (c28_standard(K), 28),
+                 (0, 1), (0, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "CQ TEST K1ABC FN42",
+         compose((c28_cq_alpha("TEST"), 28), (0, 1), (c28_standard(K), 28),
+                 (0, 1), (0, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "CQ A K1ABC FN42",
+         compose((c28_cq_alpha("A"), 28), (0, 1), (c28_standard(K), 28),
+                 (0, 1), (0, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        ("1", "CQ ZZZZ K1ABC FN42",
+         compose((c28_cq_alpha("ZZZZ"), 28), (0, 1), (c28_standard(K), 28),
+                 (0, 1), (0, 1), (g15_grid("FN42"), 15), (1, 3)), []),
+        # 11-character nonstandard calls: the c58 field limit
+        ("4", "CQ 3XY1ABCD/MM",
+         compose((0, 12), (c58("3XY1ABCD/MM"), 58), (0, 1), (0, 2), (1, 1),
+                 (4, 3)), []),
+        ("4", "<K1ABC> VK9ABCDE/MM 73",
+         compose((hash_call("K1ABC", 12), 12), (c58("VK9ABCDE/MM"), 58), (0, 1),
+                 (3, 2), (0, 1), (4, 3)), ["K1ABC"]),
+        # iflip=1: the hashed call is the SECOND token on the air
+        ("4", "PJ4/K1ABC <W9XYZ> RRR",
+         compose((hash_call("W9XYZ", 12), 12), (c58("PJ4/K1ABC"), 58), (1, 1),
+                 (1, 2), (0, 1), (4, 3)), ["W9XYZ"]),
+        # telemetry with leading zeros (18 hex digits preserved on display)
+        ("0.5", "000000000000000001",
+         compose((1, 71), (5, 3), (0, 3)), []),
+        ("0.5", "0000000000000000FF",
+         compose((0xFF, 71), (5, 3), (0, 3)), []),
+    ]
+
+
+def find_hash_collision(m: int = 10):
+    """Search for two distinct standard-looking callsigns whose m-bit hashes
+    collide (used by the hash-display behavioral test: the table keeps the
+    most recently heard call per hash)."""
+    seen = {}
+    for a in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        for b in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+                call = f"K1{a}{b}{c}"
+                h = hash_call(call, m)
+                if h in seen and seen[h] != call:
+                    return seen[h], call, h
+                seen[h] = call
+    return None
+
+
+def main() -> int:
+    known = derive_known_answer()
+    edge = derive_edge_answer()
+    if len(sys.argv) > 1 and sys.argv[1] == "diff":
+        sys.path.insert(0, ".")
+        import tests.test_protocol as tp
+
+        for name, ours, theirs in [("KNOWN_ANSWER", known, tp.KNOWN_ANSWER),
+                                   ("EDGE_ANSWER", edge, tp.EDGE_ANSWER)]:
+            mism = [(a, b) for a, b in zip(ours, theirs) if a != b]
+            print(f"{name}: {len(ours)} derived, {len(theirs)} committed, "
+                  f"{len(mism)} mismatches")
+            for a, b in mism:
+                print(f"  derived  {a}\n  committed {b}")
+        return 0
+    for name, table in [("KNOWN_ANSWER", known), ("EDGE_ANSWER", edge)]:
+        print(f"{name} = [")
+        for typ, msg, hx, seeds in table:
+            print(f'    ("{typ}", "{msg}", "{hx}", {seeds!r}),')
+        print("]")
+    col = find_hash_collision(10)
+    print(f"# h10 collision pair: {col}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""One-command on-hardware validation (round-3 VERDICT item 5).
+
+Re-validates every compiled-mode claim on the REAL TPU chip and re-pins the
+committed evidence under tests/data/, so hardware evidence regenerates
+instead of silently going stale:
+
+  1. tools/check_kernels_tpu.py — compiled BP kernel vs the jnp oracle,
+     both precision modes -> tests/data/kernels_tpu_check.json
+  2. tools/check_mesh_tpu.py — sharded (1,1)-mesh decode parity vs the
+     unsharded jit + deep-scan throughput ratio
+     -> tests/data/mesh_tpu_check.json
+  3. tools/check_cli_tpu.py — the real `python -m msk144cudecoder_tpu`
+     shell at deep-scan throughput -> tests/data/cli_throughput_tpu.json
+  4. in-process busy-band battery (the tests/test_busyband.py stimulus)
+     through the FUSED Pallas kernels: all four staggered pings decode at
+     (num_avg=1, nbadsync=0) in native AND exact precision, the K=256
+     overload keeps per-message parity, and the survivor-overflow warning
+     fires — the end-to-end compiled parity check for scan + tiered
+     survivor demod + selection + BP + compaction together
+     -> summarized in tests/data/hwtests_tpu.json
+
+Run:  python tools/run_hwtests.py [--skip-cli]
+Also runs under pytest when MSK144_TPU_HWTESTS=1 (tests/test_hw.py shells
+out to this script so the suite's forced-CPU conftest does not apply).
+bench.py --hwtests runs this battery before benching.
+
+Total runtime is dominated by jit compiles over the dev tunnel (~10-20 min
+cold; the per-step scripts print progress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import subprocess
+import sys
+import time
+from contextlib import redirect_stderr
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def run_step(name: str, cmd: list[str], report: dict) -> bool:
+    print(f"== {name}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    rc = subprocess.run([sys.executable] + cmd).returncode
+    report[name] = {"ok": rc == 0, "seconds": round(time.time() - t0, 1)}
+    print(f"== {name}: {'OK' if rc == 0 else f'FAILED rc={rc}'} "
+          f"({report[name]['seconds']}s)", flush=True)
+    return rc == 0
+
+
+def busyband_battery(report: dict) -> bool:
+    """tests/test_busyband.py invariants through the fused TPU kernels."""
+    import jax
+
+    from msk144cudecoder_tpu import constants as C
+    from msk144cudecoder_tpu.config import DecoderConfig
+    from msk144cudecoder_tpu.runtime import StreamDecoder
+    from tests.test_busyband import (
+        BASE, NCELLS, PINGS, staggered_pileup_audio, stream_windows)
+
+    dev = jax.devices()[0]
+    windows = stream_windows(staggered_pileup_audio())
+    out: dict = {"device": str(dev)}
+    expect = {m for m, _, _, _, _ in PINGS}
+
+    def decode(cfg):
+        dec = StreamDecoder(cfg)
+        buf = io.StringIO()
+        with redirect_stderr(buf):
+            res = dec.decode_to_host(jax.device_put(windows, dev))
+            best: dict = {}
+            for items in dec.postprocess_batch(res, len(windows)):
+                for r in items:
+                    k = (r.num_avg, r.nbadsync)
+                    if r.message not in best or k < best[r.message][:2]:
+                        best[r.message] = k
+        sys.stderr.write(buf.getvalue())
+        return best, int(np.asarray(res.num_survivors).max()), buf.getvalue()
+
+    t0 = time.time()
+    # unconstrained (prefilter off, K = whole grid), native precision
+    full, max_surv, _ = decode(DecoderConfig(
+        max_survivors=NCELLS, survivor_prefilter=0, use_pallas=True, **BASE))
+    out["native_full"] = {m: list(v) for m, v in sorted(full.items())}
+    out["max_survivors_seen"] = max_surv
+    ok = set(full) == expect and all(v == (1, 0) for v in full.values())
+    print(f"busyband native full: {full} max_surv={max_surv}", flush=True)
+
+    # exact precision must reproduce it
+    exact, _, _ = decode(DecoderConfig(
+        max_survivors=NCELLS, survivor_prefilter=0, fast_math=False,
+        use_pallas=True, **BASE))
+    out["exact_eq_native"] = exact == full
+    ok = ok and exact == full
+    print(f"busyband exact == native: {exact == full}", flush=True)
+
+    # K=256 overload: warning fires, per-message parity holds
+    over, over_surv, err = decode(DecoderConfig(
+        max_survivors=256, survivor_prefilter=0, use_pallas=True, **BASE))
+    out["overload_warning"] = "survivors exceed the LDPC batch" in err
+    out["overload_eq_full"] = over == full
+    ok = (ok and out["overload_warning"] and over == full
+          and over_surv > 256)
+    print(f"busyband overload: parity={over == full} "
+          f"warning={out['overload_warning']}", flush=True)
+
+    out["seconds"] = round(time.time() - t0, 1)
+    out["ok"] = bool(ok)
+    report["busyband_tpu"] = out
+    return bool(ok)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-cli", action="store_true",
+                   help="skip the (long) CLI shell throughput step")
+    args = p.parse_args()
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: run_hwtests needs the real TPU", flush=True)
+        return 1
+
+    report: dict = {"device": str(jax.devices()[0])}
+    ok = True
+    ok &= run_step("kernels", ["tools/check_kernels_tpu.py"], report)
+    ok &= run_step("mesh", ["tools/check_mesh_tpu.py"], report)
+    if not args.skip_cli:
+        ok &= run_step("cli", ["tools/check_cli_tpu.py"], report)
+    ok &= busyband_battery(report)
+    report["ok"] = bool(ok)
+    with open("tests/data/hwtests_tpu.json", "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"{'OK' if ok else 'FAILED'} — wrote tests/data/hwtests_tpu.json",
+          flush=True)
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
