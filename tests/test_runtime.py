@@ -426,6 +426,54 @@ class TestScopedMetrics:
         assert "Measured time:" not in err
 
 
+class TestCliBatchMode:
+    """The pipelined throughput mode (--window-batch > 1, device calls for
+    several batches in flight) must emit exactly the sequential mode's
+    decode lines, in stream order, including the zero-padded ragged tail
+    flush (cli.py:193-263)."""
+
+    @staticmethod
+    def _staggered_stream() -> bytes:
+        rng = np.random.default_rng(77)
+        n = 12 * C.FRAME_LEN
+        t = np.arange(n)
+        sig = np.zeros(n, dtype=np.complex128)
+        for text, f0, snr, s in [("CQ K1ABC FN42", 1470.0, 7.0, 0),
+                                 ("K1ABC W9XYZ EN37", 1530.0, 5.0, 4)]:
+            bb = np.tile(G.modulate_frame(G.frame_bits_from_message(text)), 5)
+            amp = np.sqrt(2.0 * 10 ** (snr / 10.0))
+            lo, hi = s * C.FRAME_LEN, (s + 5) * C.FRAME_LEN
+            sig[lo:hi] += amp * bb * np.exp(
+                2j * np.pi * f0 * t[lo:hi] / C.SAMPLE_RATE)
+        noise = np.sqrt(0.5 * (C.SAMPLE_RATE / 2) / 2500.0) * np.sqrt(2.0)
+        sig += noise * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        a = np.clip(np.round(sig.real * 1000.0), -32768, 32767)
+        return a.astype(np.int16).tobytes()
+
+    @staticmethod
+    def _lines(out: str):
+        # decode lines minus the wall-clock date field
+        import re
+
+        return [re.sub(r"date=\d+; ", "", ln) for ln in out.splitlines()
+                if ln.startswith("***")]
+
+    def test_pipelined_output_matches_sequential(self):
+        stream = self._staggered_stream()  # 3 windows: batch 2 + ragged 1
+        args = ["--search-width", "200", "--scan-depth", "3"]
+        out_seq, _ = _run_cli(stream, extra_args=args)
+        out_bat, err_bat = _run_cli(
+            stream, extra_args=args + ["--window-batch", "2",
+                                       "--pipeline-depth", "2"])
+        seq, bat = self._lines(out_seq), self._lines(out_bat)
+        assert "CQ K1ABC FN42" in "".join(seq)
+        assert "K1ABC W9XYZ EN37" in "".join(seq)
+        assert bat == seq
+        assert "Done" in out_bat
+        # the steady-state throughput line only prints past the first batch
+        assert "Throughput:" in err_bat
+
+
 class TestDecodeCacheBound:
     def test_cache_evicts_fifo_at_cap(self, monkeypatch):
         from msk144cudecoder_tpu.runtime import decoder as dec_mod
