@@ -67,6 +67,9 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     from msk144cudecoder_tpu import constants as C
     from msk144cudecoder_tpu import golden as G
     from msk144cudecoder_tpu.config import DecoderConfig

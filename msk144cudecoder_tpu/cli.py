@@ -131,6 +131,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     # Import JAX lazily so --help stays instant.
+    from .runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     from .runtime import StreamDecoder
     from .runtime import native
     from .runtime.metrics import ScopedMetric, SimpleTimer

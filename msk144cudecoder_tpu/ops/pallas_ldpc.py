@@ -246,9 +246,15 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         valid.astype(jnp.int32)[:, None], (k, 128))
 
     chunk = min(k, _ROW_CHUNK)
-    if k % chunk:
-        chunk = k  # odd sizes: single step (callers keep k a power-of-2-ish)
-    nstep = k // chunk
+    kpad = -k % chunk  # rows padded up to a chunk multiple (all-zero LLRs,
+    # valid=0: they can never set found, and a (chunk, 512) scratch stays
+    # within VMEM no matter how many windows are flat-batched — a 6-window
+    # x K=4848 busy-band batch is 29088 rows, unchunked scratch would be
+    # ~60 MB)
+    if kpad:
+        llr = jnp.pad(llr, ((0, kpad), (0, 0)))
+        valid_col = jnp.pad(valid_col, ((0, kpad), (0, 0)))
+    nstep = (k + kpad) // chunk
 
     kernel = functools.partial(_bp_kernel, max_iters,
                                fast_math and not interpret)
@@ -261,8 +267,8 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         in_specs=[row_spec, row_spec] + [const] * 6,
         out_specs=[row_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((k, 128), jnp.float32),
-            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k + kpad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k + kpad, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((chunk, _EPAD), jnp.float32),  # tov (edge layout)
@@ -273,6 +279,8 @@ def bp_decode_pallas(llr: jnp.ndarray, valid: jnp.ndarray,
         interpret=interpret,
     )(llr, valid_col, tbl["SEL_BIT"], tbl["SEL_SUM"], tbl["GRP"],
       tbl["BACK"], tbl["PARCRC"], jnp.asarray(tbl["MASKS"]))
+    if kpad:
+        cw, meta = cw[:k], meta[:k]
 
     return BPResult(
         found=meta[:, 0] != 0.0,

@@ -109,6 +109,24 @@ class TestPallasLDPC:
         found = np.asarray(r.found)
         assert found[0::2].all() and not found[1::2].any()
 
+    def test_row_chunk_padding(self, monkeypatch):
+        """Flat batches that are not a multiple of the row chunk pad up
+        instead of collapsing to one giant grid step (a 6-window busy-band
+        batch at K=4848 is 29088 rows — unchunked it blows VMEM on TPU).
+        Padded rows are invalid and must not perturb real rows."""
+        from msk144cudecoder_tpu.ops import ldpc, pallas_ldpc
+
+        monkeypatch.setattr(pallas_ldpc, "_ROW_CHUNK", 16)
+        llr = self._llr_batch(k=24, n_good=10, seed=13)  # 24 % 16 != 0
+        valid = jnp.asarray(np.ones(24, bool))
+        r0 = ldpc.bp_decode(llr, valid)
+        r1 = pallas_ldpc.bp_decode_pallas(llr, valid, interpret=True)
+        assert np.asarray(r1.found).shape == (24,)
+        np.testing.assert_array_equal(np.asarray(r0.found), np.asarray(r1.found))
+        np.testing.assert_array_equal(np.asarray(r0.codeword), np.asarray(r1.codeword))
+        np.testing.assert_array_equal(np.asarray(r0.iterations),
+                                      np.asarray(r1.iterations))
+
     def test_vmap_batching(self):
         from msk144cudecoder_tpu.ops import ldpc, pallas_ldpc
 

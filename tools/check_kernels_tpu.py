@@ -27,6 +27,10 @@ sys.path.insert(0, ".")
 
 import jax  # noqa: E402
 
+from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from msk144cudecoder_tpu.ops import ldpc, pallas_ldpc  # noqa: E402
 import msk144cudecoder_tpu.golden.model as M  # noqa: E402
 

@@ -32,6 +32,10 @@ sys.path.insert(0, ".")
 
 import jax  # noqa: E402
 
+from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from msk144cudecoder_tpu import constants as C  # noqa: E402
 from msk144cudecoder_tpu import golden as G  # noqa: E402
 from msk144cudecoder_tpu.config import DecoderConfig  # noqa: E402

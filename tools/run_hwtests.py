@@ -57,6 +57,10 @@ def busyband_battery(report: dict) -> bool:
     """tests/test_busyband.py invariants through the fused TPU kernels."""
     import jax
 
+    from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from msk144cudecoder_tpu import constants as C
     from msk144cudecoder_tpu.config import DecoderConfig
     from msk144cudecoder_tpu.runtime import StreamDecoder
