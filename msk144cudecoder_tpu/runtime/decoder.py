@@ -47,6 +47,10 @@ class StreamDecoder:
         self._decode_cache: Dict[bytes, Tuple[bool, str]] = {}
         self._freqs = cfg.freqs
         self._pending: deque = deque()  # in-flight WindowDecodeResults (FIFO)
+        # survivor-overflow warning aggregation (see _warn_overflow)
+        self._ovf_count = 0
+        self._ovf_max = 0
+        self._ovf_window = 0
 
     # -- device side ------------------------------------------------------
 
@@ -118,19 +122,40 @@ class StreamDecoder:
     def _postprocess(self, res) -> List[ResultItem]:
         return self._postprocess_one(res, 0)
 
+    #: windows between aggregated overflow warnings (the first overflow
+    #: prints immediately; on a deep-scan noise band EVERY window can
+    #: overflow, and one stderr line per 216 ms hop is log spam)
+    OVERFLOW_WARN_EVERY = 256
+
+    def _warn_overflow(self, n_surv: int) -> None:
+        """Never silently truncate: the reference BP-decodes every
+        under-threshold survivor; we decode the best max_survivors by exact
+        (nbadsync, xb) order and say so — immediately on first occurrence,
+        then as a rate-limited aggregate."""
+        self._ovf_window += 1
+        if n_surv > 0:
+            self._ovf_count += 1
+            self._ovf_max = max(self._ovf_max, n_surv)
+        if (self._ovf_count == 1 and n_surv > 0) \
+                or (self._ovf_window >= self.OVERFLOW_WARN_EVERY
+                    and self._ovf_count):
+            agg = (f" ({self._ovf_count} of the last {self._ovf_window} "
+                   f"windows overflowed; max {self._ovf_max})"
+                   if self._ovf_window > 1 else "")
+            n = self._ovf_max if n_surv == 0 else n_surv
+            print(
+                f"Warning: {n} sync survivors exceed the LDPC batch "
+                f"(max_survivors={self.cfg.max_survivors}); decoding the "
+                f"best {self.cfg.max_survivors} by (nbadsync, xb).{agg}",
+                file=sys.stderr,
+            )
+            if self._ovf_window >= self.OVERFLOW_WARN_EVERY:
+                self._ovf_count = self._ovf_max = self._ovf_window = 0
+
     def _postprocess_one(self, res, b: int) -> List[ResultItem]:
         """Host post-processing for window b of a batched result."""
         n_surv = int(res.num_survivors[b])
-        if n_surv > self.cfg.max_survivors:
-            # never silently truncate: the reference BP-decodes every
-            # under-threshold survivor; we decode the best max_survivors by
-            # exact (nbadsync, xb) order and say so
-            print(
-                f"Warning: {n_surv} sync survivors exceed the LDPC batch "
-                f"(max_survivors={self.cfg.max_survivors}); decoding the "
-                f"best {self.cfg.max_survivors} by (nbadsync, xb).",
-                file=sys.stderr,
-            )
+        self._warn_overflow(n_surv if n_surv > self.cfg.max_survivors else 0)
         self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
         found = np.asarray(res.found[b])

@@ -474,6 +474,26 @@ class TestCliBatchMode:
         assert "Throughput:" in err_bat
 
 
+class TestOverflowWarningRateLimit:
+    def test_first_immediate_then_aggregated(self, capsys, monkeypatch):
+        """A deep-scan noise band can overflow EVERY window; the warning
+        prints immediately once, then as a periodic aggregate instead of
+        one stderr line per 216 ms hop."""
+        monkeypatch.setattr(StreamDecoder, "OVERFLOW_WARN_EVERY", 4)
+        dec = StreamDecoder(CFG_SMALL)
+        dec._warn_overflow(900)  # first overflow: immediate
+        assert "900 sync survivors exceed" in capsys.readouterr().err
+        dec._warn_overflow(850)
+        dec._warn_overflow(0)
+        assert capsys.readouterr().err == ""  # silenced mid-period
+        dec._warn_overflow(950)  # 4th window closes the period
+        err = capsys.readouterr().err
+        assert "950 sync survivors exceed" in err
+        assert "3 of the last 4 windows overflowed; max 950" in err
+        dec._warn_overflow(0)
+        assert capsys.readouterr().err == ""  # clean period stays silent
+
+
 class TestDecodeCacheBound:
     def test_cache_evicts_fifo_at_cap(self, monkeypatch):
         from msk144cudecoder_tpu.runtime import decoder as dec_mod
