@@ -39,13 +39,24 @@ DECODE_CACHE_MAX = 4096
 
 
 class StreamDecoder:
-    def __init__(self, cfg: DecoderConfig):
+    def __init__(self, cfg: DecoderConfig,
+                 survivor_capacity: Optional[int] = None,
+                 freqs: Optional[np.ndarray] = None):
+        # survivor_capacity: LDPC rows actually decoded per window —
+        # cfg.max_survivors on a single device, K * n_freq_shards on a mesh
+        # (each shard decodes its own top-K); the overflow warning compares
+        # the global survivor count against it. freqs: the candidate-index
+        # frequency grid when it differs from cfg.freqs (a mesh pads the
+        # grid for shard divisibility; pad channels never produce results
+        # but shift nothing — real channels keep their indices).
         self.cfg = cfg
+        self.survivor_capacity = (cfg.max_survivors if survivor_capacity
+                                  is None else survivor_capacity)
         self.snr_tracker = SNRTracker()
         self.result_filter = ResultFilter()
         self.hashes = msg77.CallsignHashTable()
         self._decode_cache: Dict[bytes, Tuple[bool, str]] = {}
-        self._freqs = cfg.freqs
+        self._freqs = cfg.freqs if freqs is None else freqs
         self._pending: deque = deque()  # in-flight WindowDecodeResults (FIFO)
         # survivor-overflow warning aggregation (see _warn_overflow)
         self._ovf_count = 0
@@ -145,8 +156,8 @@ class StreamDecoder:
             n = self._ovf_max if n_surv == 0 else n_surv
             print(
                 f"Warning: {n} sync survivors exceed the LDPC batch "
-                f"(max_survivors={self.cfg.max_survivors}); decoding the "
-                f"best {self.cfg.max_survivors} by (nbadsync, xb).{agg}",
+                f"(max_survivors={self.survivor_capacity}); decoding the "
+                f"best {self.survivor_capacity} by (nbadsync, xb).{agg}",
                 file=sys.stderr,
             )
             if self._ovf_window >= self.OVERFLOW_WARN_EVERY:
@@ -155,7 +166,7 @@ class StreamDecoder:
     def _postprocess_one(self, res, b: int) -> List[ResultItem]:
         """Host post-processing for window b of a batched result."""
         n_surv = int(res.num_survivors[b])
-        self._warn_overflow(n_surv if n_surv > self.cfg.max_survivors else 0)
+        self._warn_overflow(n_surv if n_surv > self.survivor_capacity else 0)
         self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
         found = np.asarray(res.found[b])

@@ -86,6 +86,89 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+def _parallel_capture(tmp_path):
+    """5-window capture: message A in windows 0-1 (time row 0 of a (2, x)
+    mesh), message B in windows 3-4 (time row 1)."""
+    from msk144cudecoder_tpu import golden as G
+
+    rng = np.random.default_rng(5)
+    a1 = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6,
+                                  snr_db=10.0, rng=rng)
+    a2 = G.synthesize_audio_int16([("K1ABC W9XYZ R-03", 1480.0)], 6,
+                                  snr_db=10.0, rng=rng)
+    noise = (rng.normal(0, 1000, C.HOP_LEN * 2)).astype(np.int16)
+    path = tmp_path / "capture.raw"
+    path.write_bytes(np.concatenate([a1, noise, a2]).tobytes())
+    return str(path)
+
+
+def _parallel_cli_env(devices_per_process: int = 8):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count="
+                        + str(devices_per_process)).strip()
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+class TestParallelCli:
+    def test_single_process_time_freq_mesh(self, tmp_path):
+        """`python -m msk144cudecoder_tpu.parallel` on one process: the
+        capture is time-sharded over mesh rows and frequency-sharded within
+        them; both planted messages must decode with the standard line
+        format."""
+        cap = _parallel_capture(tmp_path)
+        proc = subprocess.run(
+            [sys.executable, "-m", "msk144cudecoder_tpu.parallel",
+             "--platform", "cpu", "--input", cap, "--search-width", "100",
+             "--scan-depth", "3", "--mesh-time", "2", "--mesh-freq", "4"],
+            capture_output=True, text=True, timeout=500,
+            cwd="/root/repo", env=_parallel_cli_env())
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "msg='CQ K1ABC FN42'" in proc.stdout
+        assert "msg='K1ABC W9XYZ R-03'" in proc.stdout
+        assert proc.stdout.strip().endswith("Done")
+        assert "Mesh: 2 (time) x 4 (freq)" in proc.stderr
+
+
+@pytest.mark.slow
+def test_two_process_parallel_cli(tmp_path):
+    """The distributed runner end-to-end: two real jax.distributed
+    processes share one capture; each decodes and prints only its own
+    time rows' windows."""
+    cap = _parallel_capture(tmp_path)
+    env = _parallel_cli_env(devices_per_process=4)  # (2, 4) global mesh
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "msk144cudecoder_tpu.parallel",
+             "--platform", "cpu", "--input", cap, "--search-width", "100",
+             "--scan-depth", "3", "--mesh-freq", "4",
+             "--coordinator", "localhost:52433",
+             "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo", env=env, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=500)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((out, err))
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{err[-3000:]}"
+    # windows 0-2 (message A) belong to process 0; windows 3-4 (B) to 1
+    assert "msg='CQ K1ABC FN42'" in outs[0][0]
+    assert "msg='K1ABC W9XYZ R-03'" not in outs[0][0]
+    assert "msg='K1ABC W9XYZ R-03'" in outs[1][0]
+    assert "msg='CQ K1ABC FN42'" not in outs[1][0]
+    assert outs[0][0].strip().endswith("Done")
+
+
 @pytest.mark.slow
 def test_two_process_cpu_decode(tmp_path):
     """Real jax.distributed: 2 processes x 4 CPU devices, (2, 4) mesh."""

@@ -46,6 +46,9 @@ def main() -> int:
     from msk144cudecoder_tpu.config import DecoderConfig
     from msk144cudecoder_tpu.ops import pipeline
     from msk144cudecoder_tpu.protocol import msg77
+    from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = DecoderConfig(search_width=args.search_width,
                         search_step=args.search_step,
