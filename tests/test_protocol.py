@@ -129,6 +129,46 @@ class TestMsg77Roundtrip:
         assert ok, msg
         assert out == msg
 
+    def test_fuzz_standard_messages(self):
+        """Seeded sweep of the standard-message space: random callsign
+        shapes x random grid/report/token suffixes must round-trip
+        exactly (500 messages)."""
+        rng = np.random.default_rng(2024)
+        L = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        D = "0123456789"
+
+        def call():
+            # no leading Q: Q prefixes are unassigned to any country, and
+            # the c28 field reuses them to fold Guinea 3X calls ("3XA.." is
+            # 7 chars, packed as "QA.."), so unpack unfolds Q+alpha to 3X
+            c = rng.choice(list(L.replace("Q", ""))) \
+                + ("" if rng.random() < 0.5 else rng.choice(list(L + D)))
+            c += rng.choice(list(D))
+            c += "".join(rng.choice(list(L))
+                         for _ in range(rng.integers(1, 4)))
+            return c
+
+        def suffix():
+            r = rng.random()
+            if r < 0.25:  # grid4
+                return (rng.choice(list(L[:18])) + rng.choice(list(L[:18]))
+                        + rng.choice(list(D)) + rng.choice(list(D)))
+            if r < 0.4:
+                return rng.choice(["RRR", "RR73", "73", ""])
+            rpt = int(rng.integers(-30, 33))
+            return f"{'+' if rpt >= 0 else '-'}{abs(rpt):02d}"
+
+        for _ in range(500):
+            c1 = "CQ" if rng.random() < 0.2 else call()
+            sfx = suffix()
+            msg = " ".join(t for t in (c1, call(), sfx) if t)
+            if sfx == "RR73" and msg.startswith("CQ"):
+                pass  # still a valid standard message
+            h = msg77.CallsignHashTable()
+            bits = msg77.pack77(msg, h)
+            ok, out = msg77.unpack77(bits, h)
+            assert ok and out == msg, msg
+
     def test_nonstd_hash_pair(self):
         h = msg77.CallsignHashTable()
         bits = msg77.pack77("PJ4/K1ABC W9XYZ RRR", h)
