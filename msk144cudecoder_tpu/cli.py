@@ -232,7 +232,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             emit([], ms, n)
 
         def submit(batch_np: np.ndarray, n_valid: int):
-            while len(pending) >= depth:
+            # gate on batches still COMPUTING, not on batches awaiting
+            # post-processing: blocking until the OLDEST future finishes
+            # (strict FIFO) would idle every worker behind one slow batch —
+            # head-of-line blocking that amplifies host-link latency
+            # variance. Completed results just wait in the deque (bounded
+            # by 4*depth) until their stream-order turn.
+            while (sum(not f.done() for f, _ in pending) >= depth
+                   or len(pending) >= 4 * depth):
                 drain_one()
             pending.append((pool.submit(decoder.decode_to_host, batch_np),
                             n_valid))

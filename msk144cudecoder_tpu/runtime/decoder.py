@@ -191,5 +191,15 @@ class StreamDecoder:
 
 
 def jax_to_host(res) -> "pipeline.WindowDecodeResult":
-    """Materialize every leaf of a WindowDecodeResult on the host."""
+    """Materialize every leaf of a WindowDecodeResult on the host.
+
+    All leaves start their device->host copies first (copy_to_host_async),
+    THEN each is materialized: a plain per-leaf np.asarray issues one
+    blocking transfer per leaf, and on a high-latency host link the 11
+    leaves' round trips serialize (~0.3 s per batch over this dev tunnel —
+    the gap tools/check_cli_tpu.py originally measured between the CLI and
+    its transfer ceiling)."""
+    for x in res:
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
     return type(res)(*(np.asarray(x) for x in res))

@@ -72,6 +72,7 @@ def ceiling_main(batch: int, streams: int, iters: int) -> int:
 
     from msk144cudecoder_tpu.config import DecoderConfig
     from msk144cudecoder_tpu.ops import pipeline
+    from msk144cudecoder_tpu.runtime.decoder import jax_to_host
     from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -80,14 +81,17 @@ def ceiling_main(batch: int, streams: int, iters: int) -> int:
                         nbadsync_threshold=3, max_survivors=512)
     rng = np.random.default_rng(0)
     base = rng.normal(0, 1000, (batch, C.WINDOW_LEN)).astype(np.int16)
-    np.asarray(pipeline.decode_raw(base, cfg).found)  # compile + warm
-    # distinct buffer per (stream, iter): the runtime cannot dedup transfers
+    jax_to_host(pipeline.decode_raw(base, cfg))  # compile + warm
+    # distinct buffer per (stream, iter): the runtime cannot dedup
+    # transfers. Each iteration fetches the FULL result struct through the
+    # same jax_to_host the CLI uses — the ceiling must carry the CLI's
+    # exact transfer obligations in both directions
     bufs = [[base + np.int16(1 + i * streams + s) for i in range(iters)]
             for s in range(streams)]
 
     def loop(s):
         for i in range(iters):
-            np.asarray(pipeline.decode_raw(bufs[s][i], cfg).found)
+            jax_to_host(pipeline.decode_raw(bufs[s][i], cfg))
 
     ths = [threading.Thread(target=loop, args=(s,)) for s in range(streams)]
     t0 = time.perf_counter()
@@ -123,6 +127,23 @@ def main() -> int:
     print(f"stimulus: {args.windows} windows, {len(raw)/1e6:.1f} MB, "
           f"{n_msgs} planted messages", flush=True)
 
+    def measure_ceiling() -> dict:
+        cproc = subprocess.run(
+            [sys.executable, "tools/check_cli_tpu.py", "--ceiling",
+             f"--batch={args.batch}", f"--depth={args.depth}",
+             f"--ceiling-iters={args.ceiling_iters}"],
+            capture_output=True, text=True, timeout=1800)
+        sys.stderr.write(cproc.stderr)
+        assert cproc.returncode == 0, "ceiling measurement failed"
+        return json.loads(cproc.stdout.strip().splitlines()[-1])
+
+    # bracket the CLI with a ceiling run BEFORE and AFTER: the shared dev
+    # tunnel's throughput swings >10x on minute scales (measured 0.39 vs
+    # 6.9 ms/window for the identical CLI run in one session), so the gate
+    # compares the CLI against the most forgiving contemporaneous baseline
+    ceil_before = measure_ceiling()
+    print(f"ceiling before: {ceil_before}", flush=True)
+
     cmd = [sys.executable, "-m", "msk144cudecoder_tpu", *DEEP_ARGS,
            f"--window-batch={args.batch}", f"--pipeline-depth={args.depth}"]
     with tempfile.NamedTemporaryFile(suffix=".raw") as f:
@@ -151,24 +172,27 @@ def main() -> int:
     print(f"CLI steady-state: {ms_per} ms/window = {rtf}x real time "
           f"(total wall incl. compile: {wall:.1f} s)", flush=True)
 
-    # same-session ceiling (separate process: the CLI subprocess owns the
-    # chip while it runs, and this keeps compile caches independent)
-    cproc = subprocess.run(
-        [sys.executable, "tools/check_cli_tpu.py", "--ceiling",
-         f"--batch={args.batch}", f"--depth={args.depth}",
-         f"--ceiling-iters={args.ceiling_iters}"],
-        capture_output=True, text=True, timeout=1800)
-    sys.stderr.write(cproc.stderr)
-    assert cproc.returncode == 0, "ceiling measurement failed"
-    ceiling = json.loads(cproc.stdout.strip().splitlines()[-1])
-    ratio = rtf / ceiling["ceiling_rtf"]
-    print(f"ceiling: {ceiling['ceiling_ms_per_window']} ms/window = "
-          f"{ceiling['ceiling_rtf']}x; CLI/ceiling ratio {ratio:.3f}",
-          flush=True)
+    ceil_after = measure_ceiling()
+    print(f"ceiling after: {ceil_after}", flush=True)
+    ceiling_rtf = min(ceil_before["ceiling_rtf"], ceil_after["ceiling_rtf"])
+    spread = (max(ceil_before["ceiling_rtf"], ceil_after["ceiling_rtf"])
+              / max(ceiling_rtf, 1e-9))
+    degraded = spread > 1.5
+    ratio = rtf / ceiling_rtf
+    print(f"ceiling min(before, after) = {ceiling_rtf}x "
+          f"(spread {spread:.2f}x{', DEGRADED tunnel' if degraded else ''}); "
+          f"CLI/ceiling ratio {ratio:.3f}", flush=True)
     assert ratio >= args.floor_ratio, (
-        f"CLI at {rtf}x is {ratio:.2f} of the {ceiling['ceiling_rtf']}x "
+        f"CLI at {rtf}x is {ratio:.2f} of the {ceiling_rtf}x "
         f"tunnel ceiling (floor {args.floor_ratio})")
 
+    ceiling = {"ceiling_ms_per_window": max(
+        ceil_before["ceiling_ms_per_window"],
+        ceil_after["ceiling_ms_per_window"]),
+        "ceiling_rtf": ceiling_rtf,
+        "ceiling_before_rtf": ceil_before["ceiling_rtf"],
+        "ceiling_after_rtf": ceil_after["ceiling_rtf"],
+        "tunnel_degraded": degraded}
     report = {
         "cmd": " ".join(cmd[2:]),
         "windows": args.windows,

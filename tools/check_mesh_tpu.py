@@ -131,10 +131,7 @@ def main() -> int:
     md_deep = MeshDecoder(cfg_deep, mesh)
     in_shard = NamedSharding(mesh, P("time", None))
 
-    def time_path(fn, make_dev):
-        raws = [make_dev() for _ in range(streams)]
-        for r_ in raws:  # compile + per-buffer cache warm
-            np.asarray(fn(r_).found)
+    def time_path(fn, raws):
         t0 = time.perf_counter()
         ths = [threading.Thread(
             target=lambda rd: [np.asarray(fn(rd).found)
@@ -147,12 +144,24 @@ def main() -> int:
         dt = time.perf_counter() - t0
         return dt / (streams * iters * batch) * 1e3  # ms/window
 
-    ms_sharded = time_path(
-        md_deep.decode, lambda: jax.device_put(deep_raw, in_shard))
-    ms_plain = time_path(
-        lambda r_: pipeline.decode_raw(r_, cfg_deep),
-        lambda: jax.device_put(deep_raw, dev))
+    raws_sh = [jax.device_put(deep_raw, in_shard) for _ in range(streams)]
+    raws_pl = [jax.device_put(deep_raw, dev) for _ in range(streams)]
+    for r_ in raws_sh:  # compile + per-buffer cache warm
+        np.asarray(md_deep.decode(r_).found)
+    for r_ in raws_pl:
+        np.asarray(pipeline.decode_raw(r_, cfg_deep).found)
+    # ALTERNATE sharded/unsharded trials and take each path's best: the
+    # shared dev tunnel's throughput drifts on minute scales, so two
+    # back-to-back single measurements can skew the ratio either way
+    sh_ms, pl_ms = [], []
+    for _ in range(3):
+        sh_ms.append(time_path(md_deep.decode, raws_sh))
+        pl_ms.append(time_path(lambda r_: pipeline.decode_raw(r_, cfg_deep),
+                               raws_pl))
+    ms_sharded, ms_plain = min(sh_ms), min(pl_ms)
     ratio = ms_sharded / ms_plain
+    print(f"trials sharded={[round(x, 3) for x in sh_ms]} "
+          f"unsharded={[round(x, 3) for x in pl_ms]}", flush=True)
     print(f"deep-scan throughput: sharded (1,1) {ms_sharded:.3f} ms/window, "
           f"unsharded {ms_plain:.3f} ms/window, ratio {ratio:.3f}", flush=True)
     report["sharded_1x1_ms_per_window"] = round(ms_sharded, 4)
