@@ -29,12 +29,16 @@ _N = C.WINDOW_LEN
 
 
 class WindowDecodeResult(NamedTuple):
-    """Fixed-shape per-window outputs; K = cfg.max_survivors survivors."""
+    """Fixed-shape per-window outputs; K = cfg.max_results rows."""
 
     cand_index: jnp.ndarray  # (K,) int32 flat index into (F, P, 8)
     valid: jnp.ndarray  # (K,) bool: nbadsync <= threshold
     found: jnp.ndarray  # (K,) bool: LDPC+CRC success
-    message_bits: jnp.ndarray  # (K, 77) int8
+    message_bits: jnp.ndarray  # (K, 10) uint8: the 77 payload bits PACKED
+    # in np.packbits order (bit i of the payload = bit 7-i%8 of byte i//8;
+    # unpack with pipeline.unpack_message_bits). Packed on device: this
+    # field is 74% of the result struct's bytes, and the result fetch rides
+    # the host link every window (main analog: result_keeper.cuh:123-130).
     nbadsync: jnp.ndarray  # (K,) int32
     xb: jnp.ndarray  # (K,) float32
     pos: jnp.ndarray  # (K,) int32
@@ -42,6 +46,20 @@ class WindowDecodeResult(NamedTuple):
     hard_errors: jnp.ndarray  # (K,) int32
     num_survivors: jnp.ndarray  # () int32: how many passed the threshold
     block_power: jnp.ndarray  # (8,) float32 sub-block powers for SNR tracking
+
+
+def pack_message_bits(bits77: jnp.ndarray) -> jnp.ndarray:
+    """(..., 77) {0,1} values -> (..., 10) uint8, np.packbits bit order."""
+    b = jnp.pad(bits77.astype(jnp.int32), [(0, 0)] * (bits77.ndim - 1) + [(0, 3)])
+    b = b.reshape(b.shape[:-1] + (10, 8))
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
+
+
+def unpack_message_bits(packed) -> np.ndarray:
+    """Host side: (..., 10) uint8 -> (..., 77) int8 payload bits."""
+    arr = np.asarray(packed, dtype=np.uint8)
+    return np.unpackbits(arr, axis=-1)[..., :77].astype(np.int8)
 
 
 def preprocess(raw: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
@@ -491,7 +509,7 @@ def finish_window(prep: PreparedWindow, bp, cfg: DecoderConfig
             cand_index=out[:, 82].astype(jnp.int32),
             valid=out[:, 77] != 0.0,
             found=out[:, 78] != 0.0,
-            message_bits=out[:, :77].astype(jnp.int8),
+            message_bits=pack_message_bits(out[:, :77]),
             nbadsync=out[:, 79].astype(jnp.int32),
             xb=out[:, 80],
             pos=out[:, 81].astype(jnp.int32),
@@ -504,7 +522,7 @@ def finish_window(prep: PreparedWindow, bp, cfg: DecoderConfig
         cand_index=cand_k[sel],
         valid=valid[sel],
         found=bp.found[sel],
-        message_bits=bp.codeword[sel, :77],
+        message_bits=pack_message_bits(bp.codeword[sel, :77]),
         nbadsync=nbad_k[sel],
         xb=xb_k[sel],
         pos=pos_k[sel],

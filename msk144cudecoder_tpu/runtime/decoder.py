@@ -172,7 +172,7 @@ class StreamDecoder:
         found = np.asarray(res.found[b])
         with ScopedMetric("unpack77"):
             for k in np.nonzero(found)[0]:
-                bits77 = np.asarray(res.message_bits[b][k], dtype=np.int8)
+                bits77 = pipeline.unpack_message_bits(res.message_bits[b][k])
                 ok, text = self._unpack_cached(bits77)
                 if not ok:
                     continue

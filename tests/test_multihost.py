@@ -79,7 +79,7 @@ _WORKER = textwrap.dedent("""
     texts = set()
     for b in range(n_local):
         for k in np.nonzero(fl[b])[0]:
-            ok, t = msg77.unpack77(bits[b][k].astype(np.int8), h)
+            ok, t = msg77.unpack77(pipeline.unpack_message_bits(bits[b][k]), h)
             if ok: texts.add(t)
     assert "CQ K1ABC FN42" in texts, texts
     print(f"proc {pid} OK {sorted(texts)}")

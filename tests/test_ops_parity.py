@@ -151,7 +151,7 @@ class TestPipeline:
         res = pipeline.decode_raw(jnp.asarray(audio)[None, :], cfg)
         found = np.asarray(res.found[0])
         assert found.any()
-        bits = np.asarray(res.message_bits[0])[found][0]
+        bits = pipeline.unpack_message_bits(np.asarray(res.message_bits[0])[found][0])
         ok, text = msg77.unpack77(bits)
         assert ok and text == "K1ABC W9XYZ EN37"
 
@@ -161,7 +161,7 @@ class TestPipeline:
         got_msgs = set()
         found = np.asarray(res.found[0])
         for i in np.where(found)[0]:
-            ok, text = msg77.unpack77(np.asarray(res.message_bits[0][i]))
+            ok, text = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][i]))
             if ok:
                 got_msgs.add(text)
         golden = G.decode_window(cdat_np, cfg.freqs, 2, cfg.nbadsync_threshold)
@@ -176,7 +176,7 @@ class TestPipeline:
         res = pipeline.decode_raw(jnp.asarray(iq)[None, :], cfg)
         found = np.asarray(res.found[0])
         assert found.any()
-        ok, text = msg77.unpack77(np.asarray(res.message_bits[0])[found][0])
+        ok, text = msg77.unpack77(pipeline.unpack_message_bits(np.asarray(res.message_bits[0])[found][0]))
         assert ok and text == "K1ABC W9XYZ RR73"
 
 
@@ -208,7 +208,7 @@ class TestCandidatesPerPattern:
         found = np.asarray(res.found[0])
         texts = set()
         for i in np.where(found)[0]:
-            ok, text = msg77.unpack77(np.asarray(res.message_bits[0][i]))
+            ok, text = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][i]))
             if ok:
                 texts.add(text)
         assert "CQ K1ABC FN42" in texts

@@ -156,7 +156,7 @@ class TestPallasPipeline:
             found = set()
             for k in np.nonzero(np.asarray(res.found[0]))[0]:
                 ok, t = msg77.unpack77(
-                    np.asarray(res.message_bits[0][k], np.int8), h)
+                    pipeline.unpack_message_bits(res.message_bits[0][k]), h)
                 if ok:
                     found.add(t)
             texts[use_pallas] = found
@@ -174,7 +174,7 @@ class TestPallasPipeline:
         h = msg77.CallsignHashTable()
         found = set()
         for k in np.nonzero(np.asarray(res.found[0]))[0]:
-            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            ok, t = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][k]), h)
             if ok:
                 found.add(t)
         assert found == {"CQ K1ABC FN42"}
@@ -190,7 +190,7 @@ class TestPallasPipeline:
         h = msg77.CallsignHashTable()
         found = set()
         for k in np.nonzero(np.asarray(res.found[0]))[0]:
-            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            ok, t = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][k]), h)
             if ok:
                 found.add(t)
         assert found == {"K1ABC W9XYZ EN37"}
@@ -206,7 +206,7 @@ class TestPallasPipeline:
         h = msg77.CallsignHashTable()
         found = set()
         for k in np.nonzero(np.asarray(res.found[0]))[0]:
-            ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+            ok, t = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][k]), h)
             if ok:
                 found.add(t)
         assert found == {"CQ K1ABC FN42"}

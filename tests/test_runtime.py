@@ -310,7 +310,7 @@ class TestSurvivorSelection:
             cand_index=np.zeros((1, r), np.int32),
             valid=np.zeros((1, r), bool),
             found=np.zeros((1, r), bool),
-            message_bits=np.zeros((1, r, 77), np.int8),
+            message_bits=np.zeros((1, r, 10), np.uint8),
             nbadsync=np.zeros((1, r), np.int32),
             xb=np.zeros((1, r), np.float32),
             pos=np.zeros((1, r), np.int32),
@@ -372,7 +372,7 @@ class TestNewMessageTypesEndToEnd:
         found = np.asarray(out.found[0])
         assert found.any()
         k = int(np.nonzero(found)[0][0])
-        bits = np.asarray(out.message_bits[0][k], dtype=np.uint8)
+        bits = pl_mod.unpack_message_bits(out.message_bits[0][k])
         h = msg77.CallsignHashTable()
         h.add("KH1/KH7Z")
         ok, text = msg77.unpack77(bits, h)

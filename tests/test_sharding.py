@@ -26,7 +26,7 @@ def decoded_texts(res, n_windows):
     hashes = msg77.CallsignHashTable()
     texts = [set() for _ in range(n_windows)]
     found = np.asarray(res.found)
-    bits = np.asarray(res.message_bits)
+    bits = pipeline.unpack_message_bits(res.message_bits)
     for b in range(n_windows):
         for k in np.nonzero(found[b])[0]:
             ok, text = msg77.unpack77(bits[b][k].astype(np.int8), hashes)

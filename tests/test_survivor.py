@@ -125,7 +125,7 @@ class TestPrefilterPipeline:
 
         found = np.asarray(res.found)
         best = {}
-        for bits, cand, nbad in zip(np.asarray(res.message_bits)[found],
+        for bits, cand, nbad in zip(pipeline.unpack_message_bits(np.asarray(res.message_bits)[found]),
                                     np.asarray(res.cand_index)[found],
                                     np.asarray(res.nbadsync)[found]):
             _, p_idx, _ = pipeline.unpack_candidate_index(cfg, int(cand))

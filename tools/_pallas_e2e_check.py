@@ -23,6 +23,6 @@ from msk144cudecoder_tpu.protocol import msg77
 h = msg77.CallsignHashTable()
 texts = set()
 for k in np.nonzero(found)[0]:
-    ok, t = msg77.unpack77(np.asarray(res.message_bits[0][k], np.int8), h)
+    ok, t = msg77.unpack77(pipeline.unpack_message_bits(res.message_bits[0][k]), h)
     if ok: texts.add(t)
 print('decoded:', texts, flush=True)

@@ -79,7 +79,7 @@ def main() -> int:
             for i in range(res.found.shape[1]):
                 if res.found[w, i]:
                     ok, text = msg77.unpack77(
-                        np.asarray(res.message_bits[w, i], dtype=np.int64))
+                        pipeline.unpack_message_bits(res.message_bits[w, i]))
                     if ok:
                         out.add((w, text))
         return out

@@ -77,7 +77,7 @@ def main() -> int:
             ok = False
             for k in np.nonzero(np.asarray(res.found[0]))[0]:
                 got, text = msg77.unpack77(
-                    np.asarray(res.message_bits[0][k], np.int8), h)
+                    pipeline.unpack_message_bits(res.message_bits[0][k]), h)
                 if got and text == message:
                     ok = True
                     break
