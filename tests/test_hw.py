@@ -31,3 +31,25 @@ def test_hardware_validation_battery():
         [sys.executable, "tools/run_hwtests.py"], cwd=REPO, env=env,
         timeout=3600)
     assert proc.returncode == 0, "run_hwtests.py failed (see output above)"
+
+
+def test_committed_battery_evidence_is_green():
+    """The committed evidence from the last run_hwtests.py run must be a
+    PASSING run: a failed battery pinned into tests/data/ would otherwise
+    read as hardware validation."""
+    import json
+
+    rec = json.loads((REPO / "tests" / "data" / "hwtests_tpu.json").read_text())
+    assert rec["ok"], rec
+    for step in ("kernels", "mesh", "cli", "busyband_tpu"):
+        assert rec[step]["ok"], (step, rec[step])
+    bb = rec["busyband_tpu"]
+    assert bb["exact_eq_native"] and bb["overload_eq_full"] \
+        and bb["overload_warning"]
+    assert all(tuple(v) == (1, 0) for v in bb["native_full"].values())
+
+    cli = json.loads(
+        (REPO / "tests" / "data" / "cli_throughput_tpu.json").read_text())
+    assert cli["ok"]
+    assert cli["decoded_planted"] >= cli["planted_messages"]
+    assert cli["cli_vs_ceiling_ratio"] >= cli["floor_ratio"]
