@@ -474,6 +474,25 @@ class TestCliBatchMode:
         assert "Throughput:" in err_bat
 
 
+class TestDemoCapture:
+    def test_demo_decodes_all_three_pings(self):
+        """demo/capture.raw (the stand-in for the reference's stripped demo
+        WAV) must decode its three planted messages with default flags, and
+        tools/make_demo.py must reproduce it byte for byte."""
+        import pathlib
+        import subprocess
+        import sys
+
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        data = (repo / "demo" / "capture.raw").read_bytes()
+        out, _ = _run_cli(data)
+        for msg in ("CQ K1ABC FN42", "K1ABC W9XYZ EN37", "W9XYZ K1ABC RR73"):
+            assert f"msg='{msg}'" in out, msg
+        subprocess.run([sys.executable, "tools/make_demo.py"], cwd=repo,
+                       check=True, capture_output=True)
+        assert (repo / "demo" / "capture.raw").read_bytes() == data
+
+
 class TestOverflowWarningRateLimit:
     def test_first_immediate_then_aggregated(self, capsys, monkeypatch):
         """A deep-scan noise band can overflow EVERY window; the warning
