@@ -132,6 +132,25 @@ class TestParallelCli:
         assert proc.stdout.strip().endswith("Done")
         assert "Mesh: 2 (time) x 4 (freq)" in proc.stderr
 
+    def test_iq_capture(self, tmp_path):
+        """--read-mode=2: byte ranges double per sample (int8 I/Q pairs);
+        the runner's segment slicing must stay sample-aligned."""
+        from msk144cudecoder_tpu import golden as G
+
+        iq = G.synthesize_iq_int8([("CQ K1ABC FN42", 20.0)], 9, snr_db=8.0,
+                                  rng=np.random.default_rng(6))
+        cap = tmp_path / "capture.iq"
+        cap.write_bytes(iq.tobytes())
+        proc = subprocess.run(
+            [sys.executable, "-m", "msk144cudecoder_tpu.parallel",
+             "--platform", "cpu", "--input", str(cap), "--read-mode", "2",
+             "--search-width", "100", "--scan-depth", "3",
+             "--mesh-time", "2", "--mesh-freq", "4"],
+            capture_output=True, text=True, timeout=500,
+            cwd="/root/repo", env=_parallel_cli_env())
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "msg='CQ K1ABC FN42'" in proc.stdout
+
 
 @pytest.mark.slow
 def test_two_process_parallel_cli(tmp_path):
