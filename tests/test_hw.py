@@ -41,7 +41,8 @@ def test_committed_battery_evidence_is_green():
 
     rec = json.loads((REPO / "tests" / "data" / "hwtests_tpu.json").read_text())
     assert rec["ok"], rec
-    for step in ("kernels", "mesh", "cli", "busyband_tpu"):
+    for step in ("kernels", "scan", "survivor_demod", "mesh", "cli",
+                 "busyband_tpu"):
         assert rec[step]["ok"], (step, rec[step])
     bb = rec["busyband_tpu"]
     assert bb["exact_eq_native"] and bb["overload_eq_full"] \

@@ -36,3 +36,11 @@ for name, cw in (("signal@-2dB", c_sig), ("noise", c_nse)):
     print(f"{name:12s} pos-agree={agree:.4f} set-match={set_match:.4f} "
           f"xb-relerr max={relerr.max():.2e} mean={relerr.mean():.2e}",
           flush=True)
+    # pass bars (run_hwtests step): candidate value-sets essentially
+    # identical, xb within the split-2 error class. pos agreement is lower
+    # by construction — near-tied slice maxima legitimately swap between
+    # the two float formulations (SURVEY §7 hard part 5).
+    assert set_match >= 0.90, f"{name}: candidate set-match {set_match:.3f}"
+    assert relerr.max() <= 1e-4, f"{name}: xb rel err {relerr.max():.2e}"
+    assert agree >= 0.75, f"{name}: pos agreement {agree:.3f}"
+print("OK", flush=True)

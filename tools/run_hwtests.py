@@ -134,6 +134,8 @@ def main() -> int:
     report: dict = {"device": str(jax.devices()[0])}
     ok = True
     ok &= run_step("kernels", ["tools/check_kernels_tpu.py"], report)
+    ok &= run_step("scan", ["tools/_scan_split2_check.py"], report)
+    ok &= run_step("survivor_demod", ["tools/_surv_hw_check.py"], report)
     ok &= run_step("mesh", ["tools/check_mesh_tpu.py"], report)
     if not args.skip_cli:
         ok &= run_step("cli", ["tools/check_cli_tpu.py"], report)
