@@ -208,6 +208,17 @@ def main() -> int:
         print(f"bench: method 1 {ms_m1:.2f} ms/window "
               f"rtf={out['rtf_analytic_method1']:,}x", file=sys.stderr)
 
+        # the reference's DEFAULT configuration (200 Hz / 2 Hz / depth 4 /
+        # threshold 1, main.cu:122-133) — what a stock invocation runs
+        cfg_def = DecoderConfig(fast_math=not args.exact)
+        res_def = pipeline.decode_raw(raw_dev, cfg_def)
+        assert bool(np.asarray(res_def.found[0]).any()), "default-config stimulus failed to decode"
+        ms_def = measure(lambda r_: pipeline.decode_raw(r_, cfg_def), raw,
+                         args.streams, sec_iters, args.batch)
+        out["rtf_default_config"] = round(C.HOP_LEN / (ms_def / 1e3) / C.SAMPLE_RATE, 2)
+        print(f"bench: default config {ms_def:.3f} ms/window "
+              f"rtf={out['rtf_default_config']:,}x", file=sys.stderr)
+
         # sharded (1,1)-mesh path: the BASELINE scaling row's single-chip
         # anchor — the shard_map layout must match the unsharded jit
         from jax.sharding import NamedSharding, PartitionSpec as P
