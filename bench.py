@@ -80,7 +80,7 @@ def main() -> int:
                             fast_math=not args.exact)
     else:
         cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
-                            nbadsync_threshold=3, max_survivors=512,
+                            nbadsync_threshold=3,
                             fast_math=not args.exact)
 
     rng = np.random.default_rng(0)

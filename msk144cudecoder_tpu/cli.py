@@ -39,8 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1 = FFT Hilbert, 2 = shift+FIR+shift (default 2)")
     p.add_argument("--nbadsync-threshold", type=int, default=1,
                    help="max bad sync bits per candidate (default 1)")
-    p.add_argument("--max-survivors", type=int, default=512,
-                   help="static LDPC batch size (top-K survivors)")
+    p.add_argument("--max-survivors", type=int, default=256,
+                   help="static LDPC batch size (top-K survivors under "
+                        "per-pattern quotas; 256 reproduces the "
+                        "decode-everything reference behavior across the "
+                        "committed validation battery — see config.py)")
     p.add_argument("--candidates-per-pattern", type=int, default=8,
                    help="top-k candidate lags demodulated per (frequency, "
                         "pattern), 1..8 (default 8 = reference behavior; "

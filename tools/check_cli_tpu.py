@@ -78,7 +78,7 @@ def ceiling_main(batch: int, streams: int, iters: int) -> int:
     enable_persistent_cache()
 
     cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
-                        nbadsync_threshold=3, max_survivors=512)
+                        nbadsync_threshold=3)  # K = the CLI default
     rng = np.random.default_rng(0)
     base = rng.normal(0, 1000, (batch, C.WINDOW_LEN)).astype(np.int16)
     jax_to_host(pipeline.decode_raw(base, cfg))  # compile + warm
