@@ -15,7 +15,7 @@ from msk144cudecoder_tpu.ops import pipeline, pallas_scan, pallas_survivor, pall
 
 B = 16
 cfg = DecoderConfig(search_step=1.0, search_width=500.0, scan_depth=6,
-                    nbadsync_threshold=3, max_survivors=512)
+                    nbadsync_threshold=3)  # K = the current default
 freqs = tuple(float(f) for f in cfg.freqs)
 PRE = 2 * cfg.max_survivors
 K = cfg.max_survivors
