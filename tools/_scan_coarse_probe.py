@@ -10,6 +10,19 @@ faithfully that reproduces the full scan's candidates and (decisively)
 whether any DECODABLE candidate is lost across seeds and SNRs.
 
 Run: python tools/_scan_coarse_probe.py
+
+Measured (24 trials, seeds x SNRs down to -6 dB, width 200/depth 6):
+  dec=2: pos-agree 0.977, per-cell set-match 0.953, planted best 24/24
+  dec=4: pos-agree 0.912, per-cell set-match 0.919, planted best 24/24
+
+Kernel design note for the implementer: the refine step needs the metric
+at per-(pattern, slice, freq) scattered odd lags, whose G values the
+coarse pass never computes. XLA gathers are scalar-core death (the
+round-1 lesson), and a dense one-hot over all N lags is 27 GFLOP — but
+the survivor-demod kernel already solved this exact shape: per-cell
+one-hot extraction off 96-row OFFSET-CLASS sliding matrices
+(ops/pallas_survivor.py). The refine is ~252 extractions per F-tile of a
+42-tap row + a lane dot — the same machinery at smaller scale.
 """
 from __future__ import annotations
 
