@@ -43,7 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="static LDPC batch size (top-K survivors under "
                         "per-pattern quotas; 256 reproduces the "
                         "decode-everything reference behavior across the "
-                        "committed validation battery — see config.py)")
+                        "committed validation battery — see config.py). "
+                        "Heavy-pileup bands may want 512: the battery's "
+                        "regime is 4 simultaneous pings, and the survivor-"
+                        "overflow warning on stderr is the signal to raise "
+                        "this")
+    p.add_argument("--scan-decimation", type=int, default=2, choices=(1, 2, 4),
+                   help="coarse sync-scan lag grid: correlate every Nth lag "
+                        "(scan cost ~1/N; decode sensitivity measured "
+                        "identical at 1, 2 and 4 — the demod absorbs the "
+                        "<=N-1-sample candidate offset). 1 = the full "
+                        "per-lag grid, exact reference scan semantics "
+                        "(default 2)")
     p.add_argument("--candidates-per-pattern", type=int, default=8,
                    help="top-k candidate lags demodulated per (frequency, "
                         "pattern), 1..8 (default 8 = reference behavior; "
@@ -90,6 +101,7 @@ def config_from_args(args: argparse.Namespace) -> DecoderConfig:
         survivor_prefilter=args.survivor_prefilter,
         window_batch=args.window_batch,
         fast_math=not args.exact_math,
+        scan_decimation=args.scan_decimation,
     )
     if args.center_frequency is not None:
         kwargs["center_frequency"] = args.center_frequency
@@ -117,6 +129,7 @@ def print_banner(cfg: DecoderConfig, out=None) -> None:
         f"Frequency channels: {cfg.num_freqs}",
         f"Candidate slots: {cfg.num_candidates}",
         f"LDPC survivor batch: {cfg.max_survivors}",
+        f"Scan lag grid: every {cfg.scan_decimation} sample(s)",
         f"Precision: {'native (bf16/f32-acc)' if cfg.fast_math else 'exact'}",
         "",
     ]

@@ -136,11 +136,15 @@ def _cmmT(planes, bops, mm_mode: str):
     return m1 + m2, m3 - m1 + m2
 
 
-def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
+def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str, dec: int,
                  planes_ref, bnd_ri, bops_ref,
                  b_re, b_im, e_re, e_im, chi_re, chi_im,
                  pos_out, xb_out):
     ft = b_re.shape[1]
+    n2 = _N // dec  # decimated lag-grid length (dec | N)
+    slice2 = _SLICE // dec  # coarse lags per 256-lag slice
+    pad2 = _SLICES * slice2
+    nb = bnd_ri.shape[0]  # boundary rows on this grid (41 / 20 / 10)
 
     # --- r = conj(c) @ B (transposed lag planes) + wrap correction ------
     r_re, r_im = _cmmT(planes_ref, bops_ref, mm_mode)
@@ -149,23 +153,26 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
     br, bi = b_re[:], b_im[:]
     bdr = bnd_ri[:, : C.SYNC_CORR_LEN]
     bdi = bnd_ri[:, C.SYNC_CORR_LEN : 2 * C.SYNC_CORR_LEN]
-    dr, di = _cmm(bdr, bdi, br, bi, mm_mode)  # (41, Ft)
+    dr, di = _cmm(bdr, bdi, br, bi, mm_mode)  # (nb, Ft)
     xr, xi = chi_re[:], chi_im[:]  # (1, Ft)
     corr_re = xr * dr - xi * di
     corr_im = xr * di + xi * dr
-    tail = _N - (C.SYNC_CORR_LEN - 1)
+    tail = n2 - nb
     # (scatter-add is not lowerable in Pallas TPU; use slice + concat)
     r_re = jnp.concatenate([r_re[:tail, :], r_re[tail:, :] + corr_re], axis=0)
     r_im = jnp.concatenate([r_im[:tail, :], r_im[tail:, :] + corr_im], axis=0)
 
     # --- G = E * r: exactly N-periodic, rolls below need no correction --
+    # (on the decimated grid: every roll amount below — 336 and 864m — is
+    # divisible by dec, so the coarse grid is CLOSED under the pattern
+    # rolls and the decimated field is exact at its lags)
     er, ei = e_re[:], e_im[:]
     g_re = er * r_re - ei * r_im
     g_im = er * r_im + ei * r_re
 
     def rolled(x_re, x_im, a: int):
-        """y[l] = x[(l + a) mod N]."""
-        s = (-a) % _N
+        """y[l] = x[(l + a) mod N] on the decimated grid (dec | a)."""
+        s = (-(a // dec)) % n2
         return pltpu.roll(x_re, s, 0), pltpu.roll(x_im, s, 0)
 
     # q: both sync offsets of frame 0 combined; T_m = roll(q, -864m)
@@ -178,28 +185,30 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SLICES, ft), 0)
     # packed slice-max key: |s|^2 >= 0, so its int32 bitcast is
-    # order-isomorphic; the low 8 mantissa bits carry the INVERTED in-slice
-    # lag (255 - lag), so one int max yields (quantized max, argmax) in a
-    # single reduction pass — inverted so quantized ties resolve to the
-    # SMALLEST lag, matching jnp.argmax-first semantics. Metric quantization
-    # is <= 2^-16 relative on |s|^2 (<= 2^-17 on xb), far inside the
-    # slice-max gaps the ranking depends on.
-    inv_lag = 255 - jax.lax.broadcasted_iota(jnp.int32, (_SLICE, ft), 0)
+    # order-isomorphic; the low log2(slice2) mantissa bits carry the
+    # INVERTED in-slice lag (lagbits - lag), so one int max yields
+    # (quantized max, argmax) in a single reduction pass — inverted so
+    # quantized ties resolve to the SMALLEST lag, matching jnp.argmax-first
+    # semantics. Metric quantization is <= 2^-16 relative on |s|^2
+    # (<= 2^-17 on xb) at dec=1, half/quarter that at dec 2/4 — far inside
+    # the slice-max gaps the ranking depends on.
+    lagbits = slice2 - 1  # 255 / 127 / 63
+    inv_lag = lagbits - jax.lax.broadcasted_iota(jnp.int32, (slice2, ft), 0)
 
     def select(s_re, s_im, p: int):
         """Slice-max + top-8 for pattern p; writes pos/xb output rows.
         Metric is |s|^2 (sqrt deferred to the output block — monotone)."""
-        xb = s_re * s_re + s_im * s_im  # (N, Ft)
-        # pad lag axis to 21*256 by wrapping the head (scan_kernel.cuh:85-89);
-        # per-slice max via 21 static row slices (Mosaic cannot reshape
-        # (5376, ft) -> (21, 256, ft))
-        pad = xb[: C.SCAN_PAD_LEN - _N, :]
-        xbp = jnp.concatenate([xb, pad], axis=0)  # (5376, Ft)
+        xb = s_re * s_re + s_im * s_im  # (n2, Ft)
+        # pad lag axis to 21*slice2 by wrapping the head
+        # (scan_kernel.cuh:85-89); per-slice max via 21 static row slices
+        # (Mosaic cannot reshape (pad2, ft) -> (21, slice2, ft))
+        pad = xb[: pad2 - n2, :]
+        xbp = jnp.concatenate([xb, pad], axis=0)  # (pad2, Ft)
         maxs = []
         for s in range(_SLICES):
-            seg = xbp[s * _SLICE : (s + 1) * _SLICE, :]  # (256, Ft)
+            seg = xbp[s * slice2 : (s + 1) * slice2, :]  # (slice2, Ft)
             key = jax.lax.bitcast_convert_type(seg, jnp.int32)
-            key = (key & ~255) | inv_lag
+            key = (key & ~lagbits) | inv_lag
             maxs.append(jnp.max(key, axis=0, keepdims=True))
         smax = jnp.concatenate(maxs, axis=0)  # (21, Ft) packed int keys
 
@@ -212,12 +221,12 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
             hit = cur == best
             bslice = jnp.min(jnp.where(hit, lane_iota, _SLICES), axis=0)
             chosen = hit & (lane_iota == bslice[None, :])
-            lag_in_slice = 255 - (best[0, :] & 255)
-            pos = (bslice * _SLICE + lag_in_slice) % _N
+            lag_in_slice = lagbits - (best[0, :] & lagbits)
+            pos = (dec * (bslice * slice2 + lag_in_slice)) % _N
             row = p * num_cand + k
             pos_out[row : row + 1, :] = pos[None, :]
             xb_out[row : row + 1, :] = jax.lax.bitcast_convert_type(
-                best & ~255, jnp.float32)
+                best & ~lagbits, jnp.float32)
             cur = jnp.where(chosen, jnp.int32(-(2 ** 31)), cur)
 
     # prefix patterns 0..min(depth,6)-1; T_0 = q itself
@@ -246,25 +255,38 @@ def _scan_kernel(scan_depth: int, num_cand: int, mm_mode: str,
 _LROWS = 48  # lag-plane sublane pad: 42 taps -> multiple of 8 (zeros inert)
 
 
-def lag_planes(c: jnp.ndarray, mm_mode: str) -> jnp.ndarray:
+def lag_planes(c: jnp.ndarray, mm_mode: str, dec: int = 1) -> jnp.ndarray:
     """Transposed lag planes for _cmmT from one window (N,) complex.
 
-    Returns (3, 48, N) f32 [cr, ci, cd=cr-ci] for 'f32'/'fast' (cast to bf16
-    for 'fast'), or (6, 48, N) bf16 h/l split pairs for 'split2'. Row i of a
-    plane is ext[i : i+N] — 42 contiguous slice copies, NO gather (the
-    round-2 (N, 42) gather formulation cost 0.033 ms/win on v5e; this is
-    ~0.003, tools/_scan_mmT_probe.py). The earlier '42 stacked static
-    slices: 0.6 ms' measurement stacked COLUMNS (lane-strided scatter);
-    stacking rows is pure sublane-contiguous copies."""
+    Returns (3, 48, N//dec) f32 [cr, ci, cd=cr-ci] for 'f32'/'fast' (cast to
+    bf16 for 'fast'), or (6, 48, N//dec) bf16 h/l split pairs for 'split2'.
+    Row i of a plane is ext[i : i+N : dec] — at dec=1, 42 contiguous slice
+    copies, NO gather (the round-2 (N, 42) gather formulation cost
+    0.033 ms/win on v5e; this is ~0.003, tools/_scan_mmT_probe.py). At
+    dec>1 the ext array is de-interleaved ONCE into dec phase arrays (one
+    reshape), after which each row is again a CONTIGUOUS phase slice:
+    ext[i + dec*k] = phase[i % dec][i//dec + k]. (42 stride-dec row slices
+    cost more than the full-resolution build — layout passes — measured in
+    tools/_scan_r5_probe.py.)"""
+    n2 = _N // dec
     ext = jnp.concatenate([c, c[: C.SYNC_CORR_LEN - 1]])
     er = ext.real
     ei = ext.imag
     ed = er - ei
 
     def rows(x):
-        m = jnp.stack([x[i : i + _N] for i in range(C.SYNC_CORR_LEN)])
+        if dec == 1:
+            m = jnp.stack([x[i : i + _N] for i in range(C.SYNC_CORR_LEN)])
+        else:
+            padlen = -x.shape[0] % dec
+            xp = jnp.concatenate([x, jnp.zeros((padlen,), x.dtype)])
+            ph = xp.reshape(-1, dec)  # ph[k, r] = x[dec*k + r]
+            phases = [ph[:, r] for r in range(dec)]
+            m = jnp.stack([
+                phases[i % dec][i // dec : i // dec + n2]
+                for i in range(C.SYNC_CORR_LEN)])
         return jnp.concatenate(
-            [m, jnp.zeros((_LROWS - C.SYNC_CORR_LEN, _N), m.dtype)], axis=0)
+            [m, jnp.zeros((_LROWS - C.SYNC_CORR_LEN, n2), m.dtype)], axis=0)
 
     if mm_mode == "f32":
         return jnp.stack([rows(er), rows(ei), rows(ed)])
@@ -327,10 +349,15 @@ def lag_matrices(c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return cmat_ri, bnd_matrix(c)
 
 
-def bnd_matrix(c: jnp.ndarray) -> jnp.ndarray:
-    """(..., 41, 84) wrapped-tap boundary matrix [re | im] (the cyclic-wrap
-    phase-correction operand; 41 x 42 gather, small)."""
-    r = np.arange(C.SYNC_CORR_LEN - 1)[:, None]
+def bnd_matrix(c: jnp.ndarray, dec: int = 1) -> jnp.ndarray:
+    """(..., nb, 84) wrapped-tap boundary matrix [re | im] (the cyclic-wrap
+    phase-correction operand; nb x 42 gather, small). Row r covers lag
+    N-41+r; dec>1 keeps only the rows whose lag lies on the decimated grid
+    (nb = 41 / 20 / 10 for dec = 1 / 2 / 4)."""
+    r_all = np.arange(C.SYNC_CORR_LEN - 1)
+    if dec > 1:
+        r_all = r_all[(_N - (C.SYNC_CORR_LEN - 1) + r_all) % dec == 0]
+    r = r_all[:, None]
     i = np.arange(C.SYNC_CORR_LEN)[None, :]
     wrapped = i >= (C.SYNC_CORR_LEN - 1) - r
     bidx = np.where(wrapped, r + i - (C.SYNC_CORR_LEN - 1), 0)
@@ -345,6 +372,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
                 interpret: bool | None = None,
                 fast_math: bool = False,
                 num_cand: int = _NC,
+                dec: int = 1,
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.scan.scan via the fused Pallas kernel.
 
@@ -352,6 +380,10 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     (pos, xb) each (F, scan_depth, k), F unpadded (k = num_cand, the
     cfg.candidates_per_pattern knob; reference fixes 8, common.h:34).
     interpret=None: auto (interpreter off TPU, compiled on TPU).
+    dec (config.scan_decimation): correlate every dec-th lag only — the
+    matmul rows, roll field and slice maxima all shrink by dec; candidate
+    positions land on the coarse grid (same semantics as
+    ops.scan.select_candidates with the same dec).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -361,6 +393,7 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
     else:
         t = cached_freq_tables(tuple(float(f) for f in freqs))
         f_total = t.B.shape[1]
+    n2 = _N // dec
 
     # pad the frequency axis to a full lane tile
     f_pad = -f_total % _F_TILE
@@ -374,13 +407,14 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         return jnp.pad(jnp.asarray(a), cfgpad)
 
     B = pad_f(t.B, 1)
-    E = pad_f(t.E, 1)
+    E = pad_f(t.E, 1)[::dec]  # lag phase ramp on the decimated grid
     chi = pad_f(t.chi, 1)
 
     mm_mode = "f32" if interpret else ("fast" if fast_math else "split2")
-    planes = lag_planes(c, mm_mode)
+    planes = lag_planes(c, mm_mode, dec)
     bops = _b_operands(B, mm_mode)
-    bnd_ri = bnd_matrix(c)
+    bnd_ri = bnd_matrix(c, dec)
+    nb = bnd_ri.shape[0]
 
     n_tiles = fp // _F_TILE
     grid = (n_tiles,)
@@ -394,16 +428,16 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
 
     nplanes = planes.shape[0]
     in_specs = [
-        pl.BlockSpec((nplanes, _LROWS, _N), lambda i: (0, 0, 0),
+        pl.BlockSpec((nplanes, _LROWS, n2), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),   # transposed lag planes
-        pl.BlockSpec((C.SYNC_CORR_LEN - 1, 2 * C.SYNC_CORR_LEN),
+        pl.BlockSpec((nb, 2 * C.SYNC_CORR_LEN),
                      lambda i: (0, 0), memory_space=pltpu.VMEM),  # bnd [re|im]
         pl.BlockSpec((nplanes, _LROWS, _F_TILE), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),   # B-side operands
         tile_spec(C.SYNC_CORR_LEN),     # B re
         tile_spec(C.SYNC_CORR_LEN),     # B im
-        tile_spec(_N),                  # E re
-        tile_spec(_N),                  # E im
+        tile_spec(n2),                  # E re
+        tile_spec(n2),                  # E im
         tile_spec(1),                   # chi re
         tile_spec(1),                   # chi im
     ]
@@ -419,7 +453,8 @@ def scan_pallas(c: jnp.ndarray, freqs, scan_depth: int,
         jax.ShapeDtypeStruct((rows, fp), jnp.float32),
     ]
 
-    kernel = functools.partial(_scan_kernel, scan_depth, num_cand, mm_mode)
+    kernel = functools.partial(_scan_kernel, scan_depth, num_cand, mm_mode,
+                               dec)
     pos, xb = pl.pallas_call(
         kernel,
         grid=grid,

@@ -320,10 +320,12 @@ def prepare_window(c: jnp.ndarray, freqs, cfg: DecoderConfig,
 
         pos, xb = pallas_scan.scan_pallas(c, freqs, cfg.scan_depth,
                                           fast_math=cfg.fast_math,
-                                          num_cand=cfg.candidates_per_pattern)
+                                          num_cand=cfg.candidates_per_pattern,
+                                          dec=cfg.scan_decimation)
     else:
         pos, xb = scan.scan(c, freqs, cfg.scan_depth,
-                            num_cand=cfg.candidates_per_pattern)  # (F, P, k)
+                            num_cand=cfg.candidates_per_pattern,
+                            dec=cfg.scan_decimation)  # (F, P, k)
 
     nc = pos.shape[0] * pos.shape[1] * pos.shape[2]
     pre = resolve_prefilter(cfg, nc, use_pallas)
@@ -622,7 +624,8 @@ def decode_windows(c: jnp.ndarray, freqs, cfg: DecoderConfig,
 
         pos, xb = jax.vmap(lambda w: pallas_scan.scan_pallas(
             w, freqs, cfg.scan_depth, fast_math=cfg.fast_math,
-            num_cand=cfg.candidates_per_pattern))(c)
+            num_cand=cfg.candidates_per_pattern,
+            dec=cfg.scan_decimation))(c)
         front = jax.vmap(lambda pw, xw: prefilter_select(
             xw, pw, pre, per_cell, chan_valid))(pos, xb)
         sb_f, nbad_f = _demod_tiered_batched(

@@ -106,19 +106,29 @@ def pattern_metrics(G: jnp.ndarray, scan_depth: int) -> jnp.ndarray:
 
 
 def select_candidates(
-    xb: jnp.ndarray, num_cand: int = C.NUM_CANDIDATES_PER_PATTERN
+    xb: jnp.ndarray, num_cand: int = C.NUM_CANDIDATES_PER_PATTERN,
+    dec: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per (pattern, freq): best lag in each 256-lag slice, then top-k slices
     in descending xb order (k = num_cand, reference fixes it at 8).
 
     xb: (P, N, F) -> (pos, xb_top) each (F, P, k) with pos in [0, N).
+
+    dec > 1 selects on the COARSE lag grid (every dec-th lag of each slice)
+    — the candidate semantics of the decimated Pallas kernel
+    (config.scan_decimation): positions land on multiples of dec, at most
+    dec-1 samples off the full-resolution argmax. The jnp path still
+    computes the full field; only selection is coarse, so this path stays
+    the behavioral oracle for the kernel.
     """
     P = xb.shape[0]
     F = xb.shape[2]
     pad = jnp.concatenate([xb, xb[:, : C.SCAN_PAD_LEN - _N, :]], axis=1)
     sl = pad.reshape(P, C.NUM_SCAN_SLICES, C.SCAN_SLICE, F)
+    if dec > 1:
+        sl = sl[:, :, ::dec, :]
     slice_max = sl.max(axis=2)  # (P, 21, F)
-    slice_arg = sl.argmax(axis=2).astype(jnp.int32)
+    slice_arg = (dec * sl.argmax(axis=2)).astype(jnp.int32)
     sm = slice_max.transpose(2, 0, 1)  # (F, P, 21)
     sa = slice_arg.transpose(2, 0, 1)
     top_xb, top_slice = jax.lax.top_k(sm, num_cand)
@@ -129,9 +139,11 @@ def select_candidates(
 def scan(
     c: jnp.ndarray, freqs, scan_depth: int,
     num_cand: int = C.NUM_CANDIDATES_PER_PATTERN,
+    dec: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full scan of one window: returns (pos, xb), each (F, scan_depth, k).
-    `freqs`: static tuple or FreqTables (shardable arrays)."""
+    `freqs`: static tuple or FreqTables (shardable arrays). dec: coarse
+    lag-grid selection (see select_candidates)."""
     G = sync_correlation(c, freqs)
     xb = pattern_metrics(G, scan_depth)
-    return select_candidates(xb, num_cand)
+    return select_candidates(xb, num_cand, dec)

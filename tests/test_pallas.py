@@ -25,15 +25,19 @@ FREQS = tuple(float(f) for f in np.arange(1450.0, 1551.0, 2.0))
 
 class TestPallasScan:
     @pytest.mark.parametrize("depth", [1, 4, 6, 8])
-    def test_matches_jnp_scan(self, cdat, depth):
+    @pytest.mark.parametrize("dec", [1, 2, 4])
+    def test_matches_jnp_scan(self, cdat, depth, dec):
         """Candidate equivalence, not bit-identity: near-tied slice maxima can
         swap ranks between the two float formulations (SURVEY §7 hard part 5);
-        the xb value-sets must still agree and most positions coincide."""
-        pos0, xb0 = scan.scan(cdat, FREQS, depth)
-        pos1, xb1 = pallas_scan.scan_pallas(cdat, FREQS, depth)
+        the xb value-sets must still agree and most positions coincide.
+        Parametrized over the scan_decimation grid — the decimated kernel
+        must match the jnp coarse select the same way the full one does."""
+        pos0, xb0 = scan.scan(cdat, FREQS, depth, dec=dec)
+        pos1, xb1 = pallas_scan.scan_pallas(cdat, FREQS, depth, dec=dec)
         np.testing.assert_allclose(np.asarray(xb0), np.asarray(xb1), rtol=1e-4, atol=1e-4)
         p0, p1 = np.asarray(pos0), np.asarray(pos1)
         x0, x1 = np.asarray(xb0), np.asarray(xb1)
+        assert (p0 % dec == 0).all() and (p1 % dec == 0).all()
         exact = (p0 == p1).mean()
         assert exact > 0.85
         for f in range(p0.shape[0]):
@@ -42,6 +46,31 @@ class TestPallasScan:
                 np.testing.assert_allclose(
                     np.sort(x0[f, p]), np.sort(x1[f, p]), rtol=1e-3, atol=1e-3)
                 assert len(set(p0[f, p]) & set(p1[f, p])) >= 5
+
+    def test_decimated_select_semantics(self, cdat):
+        """The coarse grid is the full field subsampled: each dec-grid
+        candidate's xb equals the full field's value at that (even) lag, and
+        each slice winner is the argmax over the slice's coarse lags."""
+        freqs = FREQS
+        G_ = scan.sync_correlation(cdat, freqs)
+        xb = scan.pattern_metrics(G_, 4)
+        for dec in (2, 4):
+            pos, top = scan.select_candidates(xb, dec=dec)
+            pos_n, top_n = np.asarray(pos), np.asarray(top)
+            field = np.asarray(
+                jnp.concatenate([xb, xb[:, : C.SCAN_PAD_LEN - C.WINDOW_LEN, :]],
+                                axis=1))
+            assert (pos_n % dec == 0).all()
+            # spot-check: every reported xb is the field value at pos
+            for f in (0, 17):
+                for p in range(4):
+                    for k in range(8):
+                        lag = pos_n[f, p, k]
+                        vals = {field[p, lag, f]}
+                        if lag < C.SCAN_PAD_LEN - C.WINDOW_LEN:
+                            vals.add(field[p, lag + C.WINDOW_LEN, f])
+                        assert any(abs(v - top_n[f, p, k]) < 1e-3 * max(abs(v), 1)
+                                   for v in vals)
 
     def test_nonmultiple_freq_count(self, cdat):
         freqs = FREQS[:37]
