@@ -162,16 +162,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                     rows.append(np.zeros(raw_len, dtype))
             valids.append(valid)
         res = md.decode(multihost.global_windows(np.stack(rows), mesh))
-        # results are time-sharded; materialize this process's rows and
-        # post-process each owned time row's windows in stream order
-        host_res = type(res)(*(
-            np.asarray(multihost_utils.process_allgather(x, tiled=True))
-            if nproc > 1 else np.asarray(x)
-            for x in res))
+        # results are time-sharded on the batch axis, so a process's own
+        # time rows are its locally ADDRESSABLE shards: materialize only
+        # those (zero cross-host result traffic). process_allgather remains
+        # only as a per-leaf fallback for non-addressable layouts.
+        glo = my_rows[0] * wb
+        ghi = (my_rows[-1] + 1) * wb
+        host_rows = []
+        for x in res:
+            local = multihost.addressable_rows(x, glo, ghi)
+            if local is None:
+                local = np.asarray(multihost_utils.process_allgather(
+                    x, tiled=True))[glo:ghi]
+            host_rows.append(local)
+        host_res = type(res)(*host_rows)
         for r, (dec, valid) in enumerate(zip(decs, valids)):
-            # host_res is the full global batch either way (allgather is
-            # tiled; single-process arrays are fully addressable)
-            lo = my_rows[r] * wb
+            lo = r * wb  # row-local offset into this process's rows
             batch_view = type(res)(*(x[lo:lo + wb] for x in host_res))
             for items in dec.postprocess_batch(batch_view, valid):
                 for item in items:

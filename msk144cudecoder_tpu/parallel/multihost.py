@@ -91,3 +91,39 @@ def global_windows(local_windows: np.ndarray, mesh: Mesh) -> jax.Array:
     sharded (time, None). Every process passes only its own windows."""
     sharding = NamedSharding(mesh, P("time", None))
     return jax.make_array_from_process_local_data(sharding, local_windows)
+
+
+def addressable_rows(x, lo: int, hi: int) -> Optional[np.ndarray]:
+    """Global batch rows [lo, hi) of a batch-leading array, assembled from
+    THIS process's addressable shards only — no cross-host traffic.
+
+    The decode result is time-sharded on its leading axis (sharding.py
+    out_specs), and a host's own time rows — the only rows it
+    post-processes — are by construction its locally addressable shards
+    (its devices span all freq columns of its time rows, global_mesh).
+    Gathering the whole global batch to every process just to slice out
+    local rows (the round-4 runner) cost O(n_hosts) redundant DCN traffic
+    per step in the one code path that exists to scale hosts.
+
+    Returns None when the addressable shards do not cover [lo, hi) (a leaf
+    sharded some other way) — the caller falls back to a collective gather
+    for that leaf.
+    """
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)[lo:hi]
+    shape = (hi - lo,) + x.shape[1:]
+    out = np.empty(shape, dtype=x.dtype)
+    cov = np.zeros(shape[:2] if x.ndim >= 2 else shape[:1], dtype=bool)
+    for sh in x.addressable_shards:
+        idx = tuple(sh.index)
+        r = idx[0] if idx else slice(None)
+        rs = r.start or 0
+        re_ = r.stop if r.stop is not None else x.shape[0]
+        a, b = max(rs, lo), min(re_, hi)
+        if a >= b:
+            continue
+        data = np.asarray(sh.data)
+        sel_out = (slice(a - lo, b - lo),) + idx[1:]
+        out[sel_out] = data[a - rs : b - rs]
+        cov[sel_out[: cov.ndim]] = True
+    return out if bool(cov.all()) else None

@@ -180,4 +180,12 @@ class TestBusyBand:
         err = capsys.readouterr().err
         assert "survivors exceed the LDPC batch" in err
         assert max_surv > cfg.max_survivors
-        assert best == full_run[0]
+        # the parity contract is per-message (num_avg, nbadsync): the
+        # constrained batch must lose no decode and no averaging tier. f0
+        # may legitimately land one grid step off (adjacent channels decode
+        # the same ping with equal metrics; which duplicate survives dedup
+        # is roster-order-sensitive, e.g. under scan decimation).
+        assert set(best) == set(full_run[0])
+        for m, (num_avg, nbad, f0) in full_run[0].items():
+            assert best[m][:2] == (num_avg, nbad), (m, best[m])
+            assert abs(best[m][2] - f0) <= BASE["search_step"], (m, best[m])

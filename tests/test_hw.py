@@ -52,5 +52,28 @@ def test_committed_battery_evidence_is_green():
     cli = json.loads(
         (REPO / "tests" / "data" / "cli_throughput_tpu.json").read_text())
     assert cli["ok"]
-    assert cli["decoded_planted"] >= cli["planted_messages"]
-    assert cli["cli_vs_ceiling_ratio"] >= cli["floor_ratio"]
+    assert cli["planted_all_distinct"]
+    assert cli["decoded_planted"] == cli["planted_messages"]
+    assert cli["floor_ratio"] <= cli["cli_vs_ceiling_ratio"] <= cli["band_hi"]
+
+
+def test_committed_evidence_matches_current_ops():
+    """Provenance binding (round-4 verdict item 4): every pinned hardware
+    JSON carries the ops-content hash of the revision that produced it; an
+    edit to the compute path without re-running the battery turns this test
+    red instead of silently passing stale evidence. Fix: re-run
+    `python tools/run_hwtests.py` on the TPU."""
+    import json
+
+    from msk144cudecoder_tpu.runtime.evidence import ops_content_hash
+
+    current = ops_content_hash()
+    for name in ("kernels_tpu_check.json", "mesh_tpu_check.json",
+                 "cli_throughput_tpu.json", "hwtests_tpu.json"):
+        rec = json.loads((REPO / "tests" / "data" / name).read_text())
+        prov = rec.get("provenance")
+        assert prov, f"{name} has no provenance stamp — re-run run_hwtests.py"
+        assert prov["ops_hash"] == current, (
+            f"{name} was produced by ops revision {prov['ops_hash']} "
+            f"(git {prov['git_sha']}) but the working tree is {current}: "
+            f"hardware evidence is STALE — re-run tools/run_hwtests.py")

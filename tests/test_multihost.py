@@ -35,6 +35,39 @@ class TestHostRanges:
         assert (lo, hi) == (0, (C.HOP_LEN + C.WINDOW_LEN) * 2)
 
 
+class TestAddressableRows:
+    """The runner's local-row materialization: global batch rows assembled
+    from addressable shards only (no collective), allgather reserved for
+    the None fallback."""
+
+    def test_time_freq_sharded_rows(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, axis_names=("time", "freq"))
+        x = np.arange(8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+        xs = jax.device_put(x, NamedSharding(mesh, P("time", "freq", None)))
+        for lo, hi in ((0, 4), (4, 8), (2, 6), (0, 8)):
+            got = multihost.addressable_rows(xs, lo, hi)
+            assert got is not None
+            np.testing.assert_array_equal(got, x[lo:hi])
+
+    def test_replicated_and_1d(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, axis_names=("time", "freq"))
+        v = np.arange(8, dtype=np.int32)
+        vs = jax.device_put(v, NamedSharding(mesh, P("time")))
+        np.testing.assert_array_equal(
+            multihost.addressable_rows(vs, 2, 7), v[2:7])
+        # plain numpy passes through
+        np.testing.assert_array_equal(
+            multihost.addressable_rows(v, 1, 3), v[1:3])
+
+
 _WORKER = textwrap.dedent("""
     import os, sys
     import numpy as np

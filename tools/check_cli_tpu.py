@@ -44,24 +44,37 @@ DEEP_ARGS = ["--search-step=1", "--search-width=500", "--scan-depth=6",
              "--nbadsync-threshold=3"]
 
 
-def build_stream(n_windows: int, msg_every: int = 512) -> tuple[bytes, int]:
+def plant_texts(n: int) -> list[str]:
+    """n DISTINCT standard messages so every plant is individually
+    verifiable in the decode output (the reference's observable contract is
+    per-transmission decode lines, /root/reference/src/main.cu:406-419; a
+    single repeated message would let re-decodes of one plant mask the loss
+    of another)."""
+    return [f"CQ K1A{chr(65 + i // 26)}{chr(65 + i % 26)} FN42"
+            for i in range(n)]
+
+
+def build_stream(n_windows: int, msg_every: int = 512
+                 ) -> tuple[bytes, list[str]]:
     """Noise stream of n_windows (50%-overlap framing) with a full 6-frame
-    MSK144 transmission planted at every msg_every-th window start. Returns
-    (raw bytes, number of planted messages)."""
+    MSK144 transmission planted at every msg_every-th window start — each
+    plant a DIFFERENT message. Returns (raw bytes, planted message texts)."""
     from msk144cudecoder_tpu import golden as G
 
     rng = np.random.default_rng(42)
     total = (n_windows - 1) * C.HOP_LEN + C.WINDOW_LEN
     stream = rng.normal(0.0, 1000.0, total).astype(np.int16)
-    msg = G.synthesize_audio_int16([("CQ K1ABC FN42", 1500.0)], 6,
-                                   snr_db=4.0, rng=rng)
-    n_msgs = 0
+    texts = plant_texts((n_windows + msg_every - 1) // msg_every)
+    planted: list[str] = []
     for w in range(0, n_windows, msg_every):
+        text = texts[len(planted)]
+        msg = G.synthesize_audio_int16([(text, 1500.0)], 6,
+                                       snr_db=4.0, rng=rng)
         start = w * C.HOP_LEN
         if start + len(msg) <= total:
             stream[start:start + len(msg)] = msg
-            n_msgs += 1
-    return stream.tobytes(), n_msgs
+            planted.append(text)
+    return stream.tobytes(), planted
 
 
 def ceiling_main(batch: int, streams: int, iters: int) -> int:
@@ -128,9 +141,10 @@ def main() -> int:
     if args.ceiling:
         return ceiling_main(args.batch, args.depth, args.ceiling_iters)
 
-    raw, n_msgs = build_stream(args.windows)
+    raw, planted = build_stream(args.windows)
+    n_msgs = len(planted)
     print(f"stimulus: {args.windows} windows, {len(raw)/1e6:.1f} MB, "
-          f"{n_msgs} planted messages", flush=True)
+          f"{n_msgs} planted messages (all distinct)", flush=True)
 
     def measure_ceiling() -> dict:
         cproc = subprocess.run(
@@ -142,15 +156,17 @@ def main() -> int:
         assert cproc.returncode == 0, "ceiling measurement failed"
         return json.loads(cproc.stdout.strip().splitlines()[-1])
 
-    # bracket the CLI with a ceiling run BEFORE and AFTER: the shared dev
-    # tunnel's throughput swings >10x on minute scales (measured 0.39 vs
-    # 6.9 ms/window for the identical CLI run in one session), so the gate
-    # compares the CLI against the most forgiving contemporaneous baseline
-    ceil_before = measure_ceiling()
-    print(f"ceiling before: {ceil_before}", flush=True)
-
+    # INTERLEAVE ceiling draws with CLI runs: the shared dev tunnel's
+    # throughput swings >10x on minute scales (measured 0.39 vs 6.9
+    # ms/window for the identical CLI run in one session), so each CLI draw
+    # is gated against the MEAN of its two bracketing ceilings — the
+    # contemporaneous baseline, not a stale one from minutes earlier. A
+    # draw whose ratio leaves [floor, band_hi] is internally inconsistent
+    # (the tunnel moved mid-bracket) and cannot be the headline.
     cmd = [sys.executable, "-m", "msk144cudecoder_tpu", *DEEP_ARGS,
            f"--window-batch={args.batch}", f"--pipeline-depth={args.depth}"]
+    ceilings = [measure_ceiling()]
+    print(f"ceiling 0: {ceilings[0]}", flush=True)
     runs = []
     with tempfile.NamedTemporaryFile(suffix=".raw") as f:
         f.write(raw)
@@ -167,9 +183,11 @@ def main() -> int:
 
             decodes = [ln for ln in proc.stdout.splitlines()
                        if ln.startswith("***")]
-            n_decoded = sum("CQ K1ABC FN42" in ln for ln in decodes)
-            assert n_decoded >= n_msgs, (
-                f"planted messages lost: {n_decoded}/{n_msgs} decoded")
+            missing = [t for t in planted
+                       if not any(f"msg='{t}'" in ln for ln in decodes)]
+            assert not missing, (
+                f"planted messages lost ({len(missing)}/{n_msgs}): "
+                f"{missing[:5]}")
             m = re.search(r"Throughput: (\d+) windows in ([\d.]+) s = "
                           r"([\d.]+) ms/window \(([\d,.]+)x real time",
                           proc.stderr)
@@ -177,52 +195,59 @@ def main() -> int:
             runs.append({"rtf": float(m.group(4).replace(",", "")),
                          "ms_per_window": float(m.group(3)),
                          "wall_s": round(wall, 1),
-                         "decoded_planted": n_decoded})
+                         "decoded_planted": n_msgs - len(missing)})
             print(f"CLI run {rep}: {runs[-1]}", flush=True)
-    best = max(runs, key=lambda r: r["rtf"])
-    rtf, ms_per, n_decoded = best["rtf"], best["ms_per_window"], \
-        best["decoded_planted"]
-    print(f"CLI steady-state (best of {len(runs)}): {ms_per} ms/window = "
-          f"{rtf}x real time; all draws "
-          f"{[r['rtf'] for r in runs]}", flush=True)
+            ceilings.append(measure_ceiling())
+            print(f"ceiling {rep + 1}: {ceilings[-1]}", flush=True)
 
-    ceil_after = measure_ceiling()
-    print(f"ceiling after: {ceil_after}", flush=True)
-    ceiling_rtf = min(ceil_before["ceiling_rtf"], ceil_after["ceiling_rtf"])
-    spread = (max(ceil_before["ceiling_rtf"], ceil_after["ceiling_rtf"])
-              / max(ceiling_rtf, 1e-9))
-    degraded = spread > 1.5
-    ratio = rtf / ceiling_rtf
-    print(f"ceiling min(before, after) = {ceiling_rtf}x "
-          f"(spread {spread:.2f}x{', DEGRADED tunnel' if degraded else ''}); "
-          f"CLI/ceiling ratio {ratio:.3f}", flush=True)
-    assert ratio >= args.floor_ratio, (
-        f"CLI at {rtf}x is {ratio:.2f} of the {ceiling_rtf}x "
-        f"tunnel ceiling (floor {args.floor_ratio})")
+    band_hi = 1.1
+    for i, r in enumerate(runs):
+        c0 = ceilings[i]["ceiling_rtf"]
+        c1 = ceilings[i + 1]["ceiling_rtf"]
+        r["ceiling_before_rtf"] = c0
+        r["ceiling_after_rtf"] = c1
+        r["ceiling_rtf"] = round((c0 + c1) / 2, 1)
+        r["ratio"] = round(r["rtf"] / r["ceiling_rtf"], 4)
+        r["consistent"] = args.floor_ratio <= r["ratio"] <= band_hi
+        print(f"draw {i}: cli {r['rtf']}x vs bracketing ceilings "
+              f"({c0}, {c1}) -> ratio {r['ratio']} "
+              f"{'OK' if r['consistent'] else 'INCONSISTENT'}", flush=True)
 
-    ceiling = {"ceiling_ms_per_window": max(
-        ceil_before["ceiling_ms_per_window"],
-        ceil_after["ceiling_ms_per_window"]),
-        "ceiling_rtf": ceiling_rtf,
-        "ceiling_before_rtf": ceil_before["ceiling_rtf"],
-        "ceiling_after_rtf": ceil_after["ceiling_rtf"],
-        "tunnel_degraded": degraded}
+    consistent = [r for r in runs if r["consistent"]]
+    assert consistent, (
+        f"no CLI draw was consistent with its contemporaneous ceilings "
+        f"(ratios {[r['ratio'] for r in runs]}, band "
+        f"[{args.floor_ratio}, {band_hi}]) — tunnel too unstable; re-run")
+    best = max(consistent, key=lambda r: r["rtf"])
+    rtf, ms_per = best["rtf"], best["ms_per_window"]
+    print(f"CLI steady-state (best CONSISTENT of {len(runs)}): {ms_per} "
+          f"ms/window = {rtf}x real time; all draws "
+          f"{[(r['rtf'], r['ratio']) for r in runs]}", flush=True)
+
+    from msk144cudecoder_tpu.runtime.evidence import provenance
     report = {
         "cmd": " ".join(cmd[2:]),
         "windows": args.windows,
         "planted_messages": n_msgs,
-        "decoded_planted": n_decoded,
+        "planted_all_distinct": True,
+        "decoded_planted": best["decoded_planted"],
         "steady_state_ms_per_window": ms_per,
         "steady_state_rtf": rtf,
         "runs": runs,
-        **ceiling,
-        "cli_vs_ceiling_ratio": round(ratio, 4),
+        "ceilings_rtf": [c["ceiling_rtf"] for c in ceilings],
+        "ceiling_rtf": best["ceiling_rtf"],
+        "cli_vs_ceiling_ratio": best["ratio"],
         "floor_ratio": args.floor_ratio,
+        "band_hi": band_hi,
         "note": ("ceiling = jitted pipeline from <depth> concurrent host "
                  "threads with a fresh host batch per call (the CLI's exact "
-                 "transfer obligations) in the same session; the gap to "
-                 "bench.py's device-resident headline is this dev tunnel's "
-                 "input path, not the shell"),
+                 "transfer obligations), INTERLEAVED with the CLI runs; "
+                 "each draw is gated against the mean of its two bracketing "
+                 "ceilings and the headline is the best draw whose ratio "
+                 "stays in the consistency band. The gap to bench.py's "
+                 "device-resident headline is this dev tunnel's input path, "
+                 "not the shell"),
+        "provenance": provenance(),
         "ok": True,
     }
     with open("tests/data/cli_throughput_tpu.json", "w") as f:

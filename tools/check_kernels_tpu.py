@@ -73,6 +73,8 @@ def main() -> int:
         assert all(eq.values()), f"{mode} kernel diverged from the jnp oracle"
     assert report["jnp_found"] > 0, "no codeword row decoded: check stimulus"
 
+    from msk144cudecoder_tpu.runtime.evidence import provenance
+    report["provenance"] = provenance()
     with open("tests/data/kernels_tpu_check.json", "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print("OK — wrote tests/data/kernels_tpu_check.json", flush=True)

@@ -191,6 +191,8 @@ def main() -> int:
 
     report["decodes"] = sorted(f"win{w}: {t}" for w, t in dec_sharded)
     report["ok"] = True
+    from msk144cudecoder_tpu.runtime.evidence import provenance
+    report["provenance"] = provenance()
     with open("tests/data/mesh_tpu_check.json", "w") as f:
         json.dump(report, f, indent=1)
     print("OK — wrote tests/data/mesh_tpu_check.json", flush=True)

@@ -140,6 +140,9 @@ def main() -> int:
     if not args.skip_cli:
         ok &= run_step("cli", ["tools/check_cli_tpu.py"], report)
     ok &= busyband_battery(report)
+    from msk144cudecoder_tpu.runtime.evidence import provenance
+
+    report["provenance"] = provenance()
     report["ok"] = bool(ok)
     with open("tests/data/hwtests_tpu.json", "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)

@@ -33,6 +33,8 @@ def main() -> int:
     p.add_argument("--max-survivors", type=int, default=256)
     p.add_argument("--survivor-prefilter", type=int, default=None)
     p.add_argument("--nbadsync-threshold", type=int, default=1)
+    p.add_argument("--scan-decimation", type=int, default=None,
+                   help="override config.scan_decimation (1/2/4)")
     p.add_argument("--exact", action="store_true")
     p.add_argument("--golden", action="store_true", help="also run the golden model")
     args = p.parse_args()
@@ -57,7 +59,9 @@ def main() -> int:
                         survivor_prefilter=args.survivor_prefilter,
                         nbadsync_threshold=args.nbadsync_threshold,
                         candidates_per_pattern=args.candidates_per_pattern,
-                        fast_math=not args.exact)
+                        fast_math=not args.exact,
+                        **({} if args.scan_decimation is None
+                           else {"scan_decimation": args.scan_decimation}))
     message = "CQ K1ABC FN42"
     snrs = [float(s) for s in args.snrs.split(",")]
 
