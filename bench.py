@@ -142,8 +142,8 @@ def main() -> int:
                       args.streams, args.iters, args.batch)
               for _ in range(1 if args.quick else 3)]
     ms_win = min(passes)
-    print(f"bench: passes {[round(p, 3) for p in passes]} ms/window",
-          file=sys.stderr)
+    passes_r = sorted(round(p, 4) for p in passes)
+    print(f"bench: passes {passes_r} ms/window", file=sys.stderr)
     per_window_s = ms_win / 1e3
     samples_per_s = C.HOP_LEN / per_window_s
     rtf = samples_per_s / C.SAMPLE_RATE
@@ -182,6 +182,10 @@ def main() -> int:
         "candidate_decodes_per_s": round(cand_decodes_per_s),
         "candidates_scanned_per_s": round(cand_scanned_per_s),
         "batch": args.batch,
+        # per-pass audit trail (ADVICE r4): the headline is best-of-N under
+        # tunnel drift; the spread is in the artifact, not just stderr
+        "headline_passes_ms": passes_r,
+        "headline_median_ms": passes_r[len(passes_r) // 2],
     }
     if hwtests_ok is not None:
         out["hwtests_ok"] = hwtests_ok
@@ -237,16 +241,31 @@ def main() -> int:
         in_shard = NamedSharding(mesh, P("time", None))
         res_sh = md.decode(jax.device_put(raw, in_shard))
         assert bool(np.asarray(res_sh.found[0]).any()), "sharded stimulus failed to decode"
-        # best of 2 (tunnel drift; tools/check_mesh_tpu.py's alternating
-        # trials are the authoritative ratio measurement)
-        ms_sh = min(measure(md.decode, raw, args.streams, sec_iters,
-                            args.batch,
-                            putter=lambda a: jax.device_put(a, in_shard))
-                    for _ in range(2))
+        # ALTERNATING sharded/unsharded trials — the SAME protocol as
+        # tools/check_mesh_tpu.py, so this row and the pinned
+        # mesh_tpu_check.json cannot disagree by protocol (round-4 verdict
+        # item 2: a one-shot sharded row against the minutes-earlier
+        # headline pass skewed with tunnel drift; the ratio must compare
+        # contemporaneous draws of both paths)
+        sh_ms, pl_ms = [], []
+        for _ in range(3):
+            sh_ms.append(measure(md.decode, raw, args.streams, sec_iters,
+                                 args.batch,
+                                 putter=lambda a: jax.device_put(a, in_shard)))
+            pl_ms.append(measure(lambda r_: pipeline.decode_raw(r_, cfg),
+                                 raw, args.streams, sec_iters, args.batch))
+        ms_sh, ms_pl = min(sh_ms), min(pl_ms)
         out["sharded_1x1_ms_per_window"] = round(ms_sh, 4)
-        out["sharded_vs_unsharded_ratio"] = round(ms_sh / ms_win, 4)
-        print(f"bench: sharded (1,1) mesh {ms_sh:.2f} ms/window "
-              f"(ratio {ms_sh / ms_win:.3f} vs unsharded)", file=sys.stderr)
+        out["sharded_unsharded_alternating_ms"] = round(ms_pl, 4)
+        out["sharded_vs_unsharded_ratio"] = round(ms_sh / ms_pl, 4)
+        out["sharded_trials_ms"] = {
+            "sharded": [round(x, 4) for x in sh_ms],
+            "unsharded": [round(x, 4) for x in pl_ms]}
+        out["sharded_protocol"] = "alternating trials, best-of-3 each " \
+            "(tools/check_mesh_tpu.py protocol)"
+        print(f"bench: sharded (1,1) mesh {ms_sh:.3f} vs unsharded "
+              f"{ms_pl:.3f} ms/window (alternating; ratio "
+              f"{ms_sh / ms_pl:.3f})", file=sys.stderr)
 
     print(json.dumps(out))
     return 0

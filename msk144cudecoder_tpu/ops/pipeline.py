@@ -45,6 +45,12 @@ class WindowDecodeResult(NamedTuple):
     ldpc_iterations: jnp.ndarray  # (K,) int32
     hard_errors: jnp.ndarray  # (K,) int32
     num_survivors: jnp.ndarray  # () int32: how many passed the threshold
+    shard_survivors: jnp.ndarray  # () int32: largest SINGLE-SHARD survivor
+    # count (== num_survivors on one device; lax.pmax over the freq axis on
+    # a mesh). Truncation happens per shard at its local top-K, so a pileup
+    # clustered in one shard can overflow K while the global sum stays
+    # under K * n_shards — the overflow warning must see the shard maximum,
+    # not just the sum (ADVICE r4 medium).
     block_power: jnp.ndarray  # (8,) float32 sub-block powers for SNR tracking
 
 
@@ -518,6 +524,7 @@ def finish_window(prep: PreparedWindow, bp, cfg: DecoderConfig
             ldpc_iterations=out[:, 83].astype(jnp.int32),
             hard_errors=out[:, 84].astype(jnp.int32),
             num_survivors=prep.num_survivors,
+            shard_survivors=prep.num_survivors,
             block_power=prep.block_power,
         )
     return WindowDecodeResult(
@@ -531,6 +538,7 @@ def finish_window(prep: PreparedWindow, bp, cfg: DecoderConfig
         ldpc_iterations=bp.iterations[sel],
         hard_errors=bp.hard_errors[sel],
         num_survivors=prep.num_survivors,
+        shard_survivors=prep.num_survivors,
         block_power=prep.block_power,
     )
 

@@ -117,6 +117,9 @@ class MeshDecoder:
             res = res._replace(
                 cand_index=res.cand_index + offset,
                 num_survivors=jax.lax.psum(res.num_survivors, "freq"),
+                # each shard truncates at its LOCAL top-K; the warning needs
+                # the worst shard, not just the global sum (ADVICE r4)
+                shard_survivors=jax.lax.pmax(res.shard_survivors, "freq"),
             )
             return res
 
@@ -131,6 +134,7 @@ class MeshDecoder:
             ldpc_iterations=P("time", "freq"),
             hard_errors=P("time", "freq"),
             num_survivors=P("time"),
+            shard_survivors=P("time"),
             block_power=P("time", None),
         )
         in_specs = (P("time", None), self._tbl_specs)

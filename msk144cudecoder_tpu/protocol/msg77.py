@@ -717,13 +717,16 @@ def unpack77(bits77, hashes: Optional[CallsignHashTable] = None) -> Tuple[bool, 
     if i3 == 0 and n3 in (3, 4):
         return _unpack_field_day(bits, hashes, n3)
     if i3 == 0 and n3 == 5:
-        # telemetry displays as the full 18 hex digits (leading zeros
-        # preserved): stripping them would make the text re-pack as FREE
-        # TEXT (short digit strings without letters are not plausible
-        # telemetry), breaking pack/unpack round-trip identity —
-        # tests/test_protocol.py EDGE_ANSWER pins this
+        # telemetry displays as 18 hex digits with AT MOST the single
+        # leading zero blanked — mirroring WSJT-X's
+        # `if(msg(1:1).eq.'0') msg(1:1)=' '` (the reference links that
+        # unpack77 via f_interop). A 17-digit string still re-packs as
+        # telemetry (>= 10 hex chars), so round-trip identity holds;
+        # stripping ALL zeros would re-pack short digit strings as free
+        # text — tests/test_protocol.py EDGE_ANSWER pins both properties
         v = _bits_to_int(bits[:71])
-        return True, f"{v:018X}"
+        s = f"{v:018X}"
+        return True, s[1:] if s[0] == "0" else s
     if i3 in (1, 2):
         return _unpack_standard(bits, hashes, i3)
     if i3 == 3:

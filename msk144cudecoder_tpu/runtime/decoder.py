@@ -52,6 +52,13 @@ class StreamDecoder:
         self.cfg = cfg
         self.survivor_capacity = (cfg.max_survivors if survivor_capacity
                                   is None else survivor_capacity)
+        # with the xb-prefilter active, survivor counts are LOWER BOUNDS:
+        # nbadsync exists only post-demod, and only prefiltered candidates
+        # are demodulated, so candidates outside the prefilter that would
+        # have passed the threshold are uncountable without the full demod
+        # the prefilter exists to avoid. The warning text says "at least".
+        self._count_is_lower_bound = pipeline.resolve_prefilter(
+            cfg, cfg.num_candidates, pipeline.resolve_use_pallas(cfg)) > 0
         self.snr_tracker = SNRTracker()
         self.result_filter = ResultFilter()
         self.hashes = msg77.CallsignHashTable()
@@ -138,26 +145,44 @@ class StreamDecoder:
     #: overflow, and one stderr line per 216 ms hop is log spam)
     OVERFLOW_WARN_EVERY = 256
 
-    def _warn_overflow(self, n_surv: int) -> None:
+    def _warn_overflow(self, n_surv: int, shard_surv: int = 0) -> None:
         """Never silently truncate: the reference BP-decodes every
         under-threshold survivor; we decode the best max_survivors by exact
         (nbadsync, xb) order and say so — immediately on first occurrence,
-        then as a rate-limited aggregate."""
+        then as a rate-limited aggregate.
+
+        Two triggers (either suffices): the GLOBAL survivor count exceeding
+        the total LDPC capacity, and — on a mesh, where each frequency
+        shard truncates at its own top-K — any single shard exceeding its
+        LOCAL K (a pileup clustered in one shard can overflow that shard
+        while the global sum stays under K * n_shards). When the prefilter
+        is active both counts are lower bounds (see config.py)."""
         self._ovf_window += 1
-        if n_surv > 0:
+        shard_over = shard_surv > self.cfg.max_survivors
+        if n_surv > 0 or shard_over:
             self._ovf_count += 1
-            self._ovf_max = max(self._ovf_max, n_surv)
-        if (self._ovf_count == 1 and n_surv > 0) \
+            self._ovf_max = max(self._ovf_max, n_surv,
+                                shard_surv if shard_over else 0)
+        if ((self._ovf_count == 1 and (n_surv > 0 or shard_over))
                 or (self._ovf_window >= self.OVERFLOW_WARN_EVERY
-                    and self._ovf_count):
+                    and self._ovf_count)):
             agg = (f" ({self._ovf_count} of the last {self._ovf_window} "
                    f"windows overflowed; max {self._ovf_max})"
                    if self._ovf_window > 1 else "")
-            n = self._ovf_max if n_surv == 0 else n_surv
+            lb = "at least " if self._count_is_lower_bound else ""
+            if n_surv > 0:
+                head = (f"{lb}{n_surv} sync survivors exceed the LDPC batch "
+                        f"(max_survivors={self.survivor_capacity})")
+            elif shard_over:
+                head = (f"{lb}{shard_surv} sync survivors in one frequency "
+                        f"shard exceed its local batch "
+                        f"(max_survivors={self.cfg.max_survivors} per shard)")
+            else:
+                head = (f"{lb}{self._ovf_max} sync survivors exceed the LDPC "
+                        f"batch (max_survivors={self.survivor_capacity})")
             print(
-                f"Warning: {n} sync survivors exceed the LDPC batch "
-                f"(max_survivors={self.survivor_capacity}); decoding the "
-                f"best {self.survivor_capacity} by (nbadsync, xb).{agg}",
+                f"Warning: {head}; decoding the best survivors by "
+                f"(nbadsync, xb).{agg}",
                 file=sys.stderr,
             )
             if self._ovf_window >= self.OVERFLOW_WARN_EVERY:
@@ -166,7 +191,9 @@ class StreamDecoder:
     def _postprocess_one(self, res, b: int) -> List[ResultItem]:
         """Host post-processing for window b of a batched result."""
         n_surv = int(res.num_survivors[b])
-        self._warn_overflow(n_surv if n_surv > self.survivor_capacity else 0)
+        shard_surv = int(res.shard_survivors[b])
+        self._warn_overflow(n_surv if n_surv > self.survivor_capacity else 0,
+                            shard_surv)
         self.snr_tracker.process_powers(res.block_power[b])
         self.result_filter.block_begin()
         found = np.asarray(res.found[b])

@@ -189,3 +189,26 @@ class TestBusyBand:
         for m, (num_avg, nbad, f0) in full_run[0].items():
             assert best[m][:2] == (num_avg, nbad), (m, best[m])
             assert abs(best[m][2] - f0) <= BASE["search_step"], (m, best[m])
+
+    def test_overflow_warning_fires_with_prefilter_on(self, windows,
+                                                      full_run, capsys):
+        """The SHIPPING path keeps a prefilter active, which makes
+        num_survivors a lower bound (only prefiltered candidates are
+        demodulated, and nbadsync exists only post-demod — exactness would
+        require the full demod the prefilter exists to avoid). The warning
+        must still fire under genuine overload, flag the bound as 'at
+        least', and the decode set must still match the unconstrained
+        oracle per message."""
+        cfg = DecoderConfig(max_survivors=512, survivor_prefilter=1024,
+                            **BASE)
+        best, max_surv = decode_stream(cfg, windows)
+        err = capsys.readouterr().err
+        assert "sync survivors exceed the LDPC batch" in err
+        assert "at least" in err
+        assert max_surv > cfg.max_survivors
+        # decode-SET contract under the prefilter (same as
+        # test_prefilter_shipping_default_decode_set: num_avg may
+        # legitimately differ under per_cell=2, nothing lost/hallucinated)
+        assert set(best) == set(full_run[0])
+        for m in full_run[0]:
+            assert best[m][1] == 0, (m, best[m])  # clean sync decode

@@ -195,14 +195,20 @@ class TestMsg77Roundtrip:
         assert out == "<...> W9XYZ FN42"
 
     def test_telemetry(self):
-        # telemetry displays as the full 18 hex digits: shorter TX input is
-        # zero-extended on receive (stripping zeros would re-pack as free
-        # text — see EDGE_ANSWER leading-zero vectors)
+        # telemetry displays as 18 hex digits with at most the single
+        # leading zero blanked (WSJT-X semantics); shorter TX input is
+        # zero-extended on receive, and the 17-digit display still
+        # re-packs as telemetry (stripping ALL zeros would re-pack as
+        # free text — see EDGE_ANSWER leading-zero vectors)
         h = msg77.CallsignHashTable()
         bits = msg77.pack77("123456789ABCDEF", h)
         ok, out = msg77.unpack77(bits, h)
-        assert ok and out == "000123456789ABCDEF"
+        assert ok and out == "00123456789ABCDEF"
         assert np.array_equal(msg77.pack77(out, h), bits)
+        # value >= 2^68: first digit nonzero, full 18 kept
+        bits18 = msg77.pack77("123456789ABCDEF012", h)
+        ok, out = msg77.unpack77(bits18, h)
+        assert ok and out == "123456789ABCDEF012"
 
     def test_free_text_13_chars(self):
         h = msg77.CallsignHashTable()
@@ -295,8 +301,8 @@ EDGE_ANSWER = [
     ("4", "CQ 3XY1ABCD/MM", "000036DBCB5E0AAB0A8C", []),
     ("4", "<K1ABC> VK9ABCDE/MM 73", "16476B1E216DEFBB4EB4", ["K1ABC"]),
     ("4", "PJ4/K1ABC <W9XYZ> RRR", "1E6200347462395400D4", ["W9XYZ"]),
-    ("0.5", "000000000000000001", "00000000000000000068", []),
-    ("0.5", "0000000000000000FF", "00000000000000003FE8", []),
+    ("0.5", "00000000000000001", "00000000000000000068", []),
+    ("0.5", "000000000000000FF", "00000000000000003FE8", []),
 ]
 
 ALL_ANSWER = KNOWN_ANSWER + EDGE_ANSWER

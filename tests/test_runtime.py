@@ -317,11 +317,40 @@ class TestSurvivorSelection:
             ldpc_iterations=np.zeros((1, r), np.int32),
             hard_errors=np.zeros((1, r), np.int32),
             num_survivors=np.array([9], np.int32),
+            shard_survivors=np.array([9], np.int32),
             block_power=np.ones((1, 8), np.float32),
         )
         dec._postprocess_one(res, 0)
         err = capsys.readouterr().err
         assert "9 sync survivors exceed" in err and "max_survivors=4" in err
+
+    def test_shard_overflow_warning_fires(self, capsys):
+        """A single frequency shard exceeding its LOCAL top-K must warn even
+        when the global sum stays under K * n_shards (each shard truncates
+        locally — ADVICE r4 medium)."""
+        from msk144cudecoder_tpu.ops.pipeline import WindowDecodeResult
+
+        cfg = CFG_SMALL.replace(max_survivors=4, max_results=4)
+        dec = StreamDecoder(cfg, survivor_capacity=16)  # 4 shards x K=4
+        r = 4
+        res = WindowDecodeResult(
+            cand_index=np.zeros((1, r), np.int32),
+            valid=np.zeros((1, r), bool),
+            found=np.zeros((1, r), bool),
+            message_bits=np.zeros((1, r, 10), np.uint8),
+            nbadsync=np.zeros((1, r), np.int32),
+            xb=np.zeros((1, r), np.float32),
+            pos=np.zeros((1, r), np.int32),
+            ldpc_iterations=np.zeros((1, r), np.int32),
+            hard_errors=np.zeros((1, r), np.int32),
+            num_survivors=np.array([9], np.int32),  # under capacity 16
+            shard_survivors=np.array([7], np.int32),  # one shard over K=4
+            block_power=np.ones((1, 8), np.float32),
+        )
+        dec._postprocess_one(res, 0)
+        err = capsys.readouterr().err
+        assert "7 sync survivors in one frequency shard" in err
+        assert "max_survivors=4 per shard" in err
 
     def test_ragged_byte_tail_ends_cleanly(self, capsys):
         """A stream ending mid-sample must take the normal short-read exit,

@@ -327,10 +327,12 @@ def derive_edge_answer():
         ("4", "PJ4/K1ABC <W9XYZ> RRR",
          compose((hash_call("W9XYZ", 12), 12), (c58("PJ4/K1ABC"), 58), (1, 1),
                  (1, 2), (0, 1), (4, 3)), ["W9XYZ"]),
-        # telemetry with leading zeros (18 hex digits preserved on display)
-        ("0.5", "000000000000000001",
+        # telemetry with leading zeros: display blanks AT MOST the single
+        # leading zero (WSJT-X `if(msg(1:1).eq.'0') msg(1:1)=' '`), so
+        # these display as 17 digits and still re-pack as telemetry
+        ("0.5", "00000000000000001",
          compose((1, 71), (5, 3), (0, 3)), []),
-        ("0.5", "0000000000000000FF",
+        ("0.5", "000000000000000FF",
          compose((0xFF, 71), (5, 3), (0, 3)), []),
     ]
 
