@@ -230,6 +230,20 @@ def main() -> int:
         print(f"bench: default config {ms_def:.3f} ms/window "
               f"rtf={out['rtf_default_config']:,}x", file=sys.stderr)
 
+        # scan-decimation ablation (round-5): the headline runs the dec=4
+        # default; record dec=1 (the reference's exact per-lag grid) and
+        # dec=2 so the coarse-grid win is auditable from the artifact
+        for dec_ab in (1, 2):
+            cfg_ab = cfg.replace(scan_decimation=dec_ab)
+            res_ab = pipeline.decode_raw(raw_dev, cfg_ab)
+            assert bool(np.asarray(res_ab.found[0]).any())
+            ms_ab = measure(lambda r_: pipeline.decode_raw(r_, cfg_ab), raw,
+                            args.streams, sec_iters, args.batch)
+            out[f"rtf_scan_dec{dec_ab}"] = round(
+                C.HOP_LEN / (ms_ab / 1e3) / C.SAMPLE_RATE, 2)
+            print(f"bench: scan dec={dec_ab} {ms_ab:.3f} ms/window "
+                  f"rtf={out[f'rtf_scan_dec{dec_ab}']:,}x", file=sys.stderr)
+
         # sharded (1,1)-mesh path: the BASELINE scaling row's single-chip
         # anchor — the shard_map layout must match the unsharded jit
         from jax.sharding import NamedSharding, PartitionSpec as P
