@@ -6,16 +6,17 @@ drives the actual product surface — `python -m msk144cudecoder_tpu` reading
 mode (--window-batch --pipeline-depth), on a synthesized stream with planted
 messages, and records the CLI's steady-state throughput line.
 
-Pass criterion — a RATIO, not an absolute: in the same session this tool
-also measures the tunnel-inclusive ceiling for the identical protocol (the
-jitted pipeline called from `depth` concurrent host threads with a FRESH
-host batch per call, i.e. exactly the transfers the CLI must make), and the
-CLI must reach >= 70% of that ceiling. An absolute floor would conflate the
-shell under test with this dev environment's host link: the chip-side
-number is ~0.21 ms/window (bench.py headline, device-resident input), but
-every CLI batch pays a host->device input transfer (~60 MB/s effective
-here, with minute-scale drift on the shared tunnel — measured swings of 2x
-between consecutive runs) that a production host's local link would not.
+Pass criterion — a RATIO, not an absolute: ceiling draws (the
+DEVICE-RESIDENT chip bound, bench.py's multi-stream protocol) are
+INTERLEAVED with the CLI runs, and each CLI draw is gated against the mean
+of its two bracketing ceilings: ratio = end-to-end shell efficiency vs the
+chip, physically <= 1. The headline is the best draw whose ratio stays in
+[floor, 1.05]; a draw above that band means the tunnel moved mid-bracket.
+An absolute floor would conflate the shell under test with this dev
+environment's host link: every CLI batch pays a host->device input
+transfer (~55 MB/s effective here, with minute-scale drift on the shared
+tunnel) that a production host's local link would not — hence the modest
+default floor; on local-attached hardware the same ratio sits near 1.
 The reference has the same ingest structure (stdin fread per loop,
 /root/reference/src/main.cu:271-294); its PCIe link just makes the
 equivalent cost invisible.
@@ -78,25 +79,26 @@ def build_stream(n_windows: int, msg_every: int = 512
 
 
 def ceiling_main(batch: int, depth: int, iters: int) -> int:
-    """--ceiling mode: tunnel-inclusive throughput of the bare jitted
-    pipeline under the CLI's EXACT device protocol — a
-    ThreadPoolExecutor(depth) of decode+full-result-fetch calls on fresh
-    host batches, gated on batches still computing, drained in completion
-    order (cli.py throughput mode minus stdin framing and host
-    post-processing). By construction this bounds the CLI from above.
+    """--ceiling mode: the DEVICE-RESIDENT chip bound — the jitted pipeline
+    on pre-transferred input buffers, `depth` concurrent host streams,
+    per-iteration found-flag fetches (bench.py's protocol). No shell that
+    must additionally transfer its input stream can exceed this, so it is
+    a physically true upper bound on the CLI; the gate below reads
+    cli/ceiling as END-TO-END SHELL EFFICIENCY vs the chip.
 
-    (Earlier rounds used `depth` SYNCHRONOUS threads, each serializing
-    transfer->compute->fetch; that overlaps the tunnel's round trips worse
-    than the CLI's own pipelined driver and measured consistently BELOW
-    the thing it was supposed to bound — cli_vs_ceiling 1.42 in round 4,
-    1.2-1.5 in round 5. A 'ceiling' protocol must dominate the shell's.)
+    (Two earlier transfer-INCLUSIVE ceiling protocols — N synchronous
+    threads, then the CLI's own pipelined executor on fresh host batches —
+    both measured consistently BELOW the CLI they were meant to bound
+    (ratios 1.2-1.7): the CLI's overlap of stdin framing, H2D, compute and
+    fetch beats any bare reimplementation of its transfer obligations, so
+    a transfer-inclusive 'ceiling' is just a slower sibling, not a bound.)
     Prints one JSON line."""
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
+    import threading
+
+    import jax
 
     from msk144cudecoder_tpu.config import DecoderConfig
     from msk144cudecoder_tpu.ops import pipeline
-    from msk144cudecoder_tpu.runtime.decoder import jax_to_host
     from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -105,38 +107,21 @@ def ceiling_main(batch: int, depth: int, iters: int) -> int:
                         nbadsync_threshold=3)  # K = the CLI default
     rng = np.random.default_rng(0)
     base = rng.normal(0, 1000, (batch, C.WINDOW_LEN)).astype(np.int16)
-    step = lambda b: jax_to_host(pipeline.decode_raw(b, cfg))
-    step(base)  # compile + warm
+    dev = jax.devices()[0]
+    raws = [jax.device_put(base + np.int16(s), dev) for s in range(depth)]
+    for r_ in raws:  # compile + warm every stream's buffer
+        np.asarray(pipeline.decode_raw(r_, cfg).found)
 
-    n_batches = depth * iters
-    pool = ThreadPoolExecutor(max_workers=depth)
-    pending: deque = deque()
-    t_steady = last_done = None
-    n_done = 0
-
-    def drain_one():
-        nonlocal t_steady, last_done, n_done
-        pending.popleft().result()
-        now = time.perf_counter()
-        last_done = now
-        if t_steady is None:
-            t_steady = now  # first completion opens the steady state
-        else:
-            n_done += batch
-
-    for i in range(n_batches):
-        while sum(not f.done() for f in pending) >= depth \
-                or len(pending) >= 4 * depth:
-            drain_one()
-        # distinct buffer per batch: the runtime cannot dedup transfers
-        pending.append(pool.submit(step, base + np.int16(i + 1)))
-        while pending and pending[0].done():
-            drain_one()
-    while pending:
-        drain_one()
-    pool.shutdown()
-    assert n_done and last_done > t_steady
-    ms = (last_done - t_steady) / n_done * 1e3
+    t0 = time.perf_counter()
+    ths = [threading.Thread(
+        target=lambda rd: [np.asarray(pipeline.decode_raw(rd, cfg).found)
+                           for _ in range(iters)], args=(r_,))
+        for r_ in raws]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    ms = (time.perf_counter() - t0) / (depth * iters * batch) * 1e3
     print(json.dumps({"ceiling_ms_per_window": round(ms, 4),
                       "ceiling_rtf": round(C.HOP_LEN / (ms / 1e3)
                                            / C.SAMPLE_RATE, 1)}))
@@ -148,9 +133,13 @@ def main() -> int:
     p.add_argument("--windows", type=int, default=16384)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--depth", type=int, default=4)
-    p.add_argument("--floor-ratio", type=float, default=0.7,
+    p.add_argument("--floor-ratio", type=float, default=0.4,
                    help="pass floor: CLI rtf >= this fraction of the "
-                        "same-session tunnel-inclusive ceiling")
+                        "same-session DEVICE-RESIDENT chip bound (shell "
+                        "efficiency incl. this tunnel's input path; a "
+                        "local-attached production host sits near 1.0, "
+                        "losing the shell's transfer/compute overlap "
+                        "reads ~0.2)")
     p.add_argument("--repeat", type=int, default=3,
                    help="CLI runs; the best steady state is the headline "
                         "(the shared tunnel's minute-scale throughput drift "
@@ -183,9 +172,11 @@ def main() -> int:
     # throughput swings >10x on minute scales (measured 0.39 vs 6.9
     # ms/window for the identical CLI run in one session), so each CLI draw
     # is gated against the MEAN of its two bracketing ceilings — the
-    # contemporaneous baseline, not a stale one from minutes earlier. A
-    # draw whose ratio leaves [floor, band_hi] is internally inconsistent
-    # (the tunnel moved mid-bracket) and cannot be the headline.
+    # contemporaneous baseline, not a stale one from minutes earlier. The
+    # ceiling is the device-resident chip bound, so the ratio is shell
+    # efficiency: > band_hi is physically impossible (the tunnel moved
+    # mid-bracket — measurement inconsistent), < floor is a shell
+    # regression; either disqualifies the draw from being the headline.
     cmd = [sys.executable, "-m", "msk144cudecoder_tpu", *DEEP_ARGS,
            f"--window-batch={args.batch}", f"--pipeline-depth={args.depth}"]
     ceilings = [measure_ceiling()]
@@ -223,7 +214,8 @@ def main() -> int:
             ceilings.append(measure_ceiling())
             print(f"ceiling {rep + 1}: {ceilings[-1]}", flush=True)
 
-    band_hi = 1.1
+    band_hi = 1.05  # a shell cannot beat the device-resident chip bound;
+    # small tolerance for tunnel drift between a draw's two brackets
     for i, r in enumerate(runs):
         c0 = ceilings[i]["ceiling_rtf"]
         c1 = ceilings[i + 1]["ceiling_rtf"]
@@ -262,14 +254,18 @@ def main() -> int:
         "cli_vs_ceiling_ratio": best["ratio"],
         "floor_ratio": args.floor_ratio,
         "band_hi": band_hi,
-        "note": ("ceiling = jitted pipeline from <depth> concurrent host "
-                 "threads with a fresh host batch per call (the CLI's exact "
-                 "transfer obligations), INTERLEAVED with the CLI runs; "
-                 "each draw is gated against the mean of its two bracketing "
-                 "ceilings and the headline is the best draw whose ratio "
-                 "stays in the consistency band. The gap to bench.py's "
-                 "device-resident headline is this dev tunnel's input path, "
-                 "not the shell"),
+        "note": ("ceiling = the DEVICE-RESIDENT chip bound (bench.py's "
+                 "multi-stream protocol, no input H2D), INTERLEAVED with "
+                 "the CLI runs; each draw is gated against the mean of its "
+                 "two bracketing ceilings. ratio = end-to-end shell "
+                 "efficiency vs the chip: <= 1 physically, ~1.0 on a "
+                 "local-attached production host, lower here because the "
+                 "dev tunnel's input path is in the loop; > band_hi means "
+                 "the tunnel moved mid-bracket (measurement inconsistent), "
+                 "< floor_ratio means the shell lost its transfer/compute "
+                 "overlap (regression). Transfer-inclusive 'ceilings' were "
+                 "tried twice and measured BELOW the CLI they were meant "
+                 "to bound — see ceiling_main's docstring"),
         "provenance": provenance(),
         "ok": True,
     }
