@@ -179,13 +179,18 @@ def prefilter_select(xb: jnp.ndarray, pos: jnp.ndarray, pre: int,
     xb_p = xb2.reshape(F, P, per_cell).transpose(1, 0, 2).reshape(P, -1)
     meta_p = meta2.reshape(F, P, per_cell).transpose(1, 0, 2).reshape(P, -1)
     quota = split_quota(pre, P)
-    xb_parts, sel_parts = [], []
-    for p in range(P):
-        xv, si = jax.lax.top_k(xb_p[p], quota[p])
-        xb_parts.append(xv)
-        sel_parts.append(si + p * xb_p.shape[1])
-    xb_sel = jnp.concatenate(xb_parts)
-    meta_sel = meta_p.reshape(-1)[jnp.concatenate(sel_parts)]
+    # per-pattern top-quota via ONE two-operand sort carrying meta along:
+    # top_k returns indices whose meta load is a 512-of-6012 gather — XLA's
+    # TPU gather lowering runs on the scalar core and was the prefilter's
+    # dominant cost (~0.012 of ~0.013 ms/win, tools/_stage_time_r5.py); a
+    # (pre, cells) one-hot matmul costs the same in compare passes. The
+    # stable sort keeps argmax-first tie order and the per-pattern quota
+    # reads are static row slices.
+    xb_neg, meta_sorted = jax.lax.sort((-xb_p, meta_p), dimension=1,
+                                       num_keys=1)
+    xb_sel = jnp.concatenate([-xb_neg[p, : quota[p]] for p in range(P)])
+    meta_sel = jnp.concatenate([meta_sorted[p, : quota[p]]
+                                for p in range(P)])
     flat_idx = meta_sel // 8192
     pos_sel = meta_sel - flat_idx * 8192
     per_f = P * S
