@@ -54,7 +54,10 @@ def test_committed_battery_evidence_is_green():
     assert cli["ok"]
     assert cli["planted_all_distinct"]
     assert cli["decoded_planted"] == cli["planted_messages"]
-    assert cli["floor_ratio"] <= cli["cli_vs_ceiling_ratio"] <= cli["band_hi"]
+    # roofline gate: physically below the chip bound, above the regression
+    # floor vs the binding resource (see check_cli_tpu.py docstring)
+    assert cli["cli_vs_chip_ratio"] <= cli["band_hi"]
+    assert cli["cli_vs_floor_bound_ratio"] >= cli["floor_ratio"]
 
 
 def test_committed_evidence_matches_current_ops():

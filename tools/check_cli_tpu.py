@@ -6,20 +6,19 @@ drives the actual product surface — `python -m msk144cudecoder_tpu` reading
 mode (--window-batch --pipeline-depth), on a synthesized stream with planted
 messages, and records the CLI's steady-state throughput line.
 
-Pass criterion — a RATIO, not an absolute: ceiling draws (the
-DEVICE-RESIDENT chip bound, bench.py's multi-stream protocol) are
-INTERLEAVED with the CLI runs, and each CLI draw is gated against the mean
-of its two bracketing ceilings: ratio = end-to-end shell efficiency vs the
-chip, physically <= 1. The headline is the best draw whose ratio stays in
-[floor, 1.05]; a draw above that band means the tunnel moved mid-bracket.
-An absolute floor would conflate the shell under test with this dev
-environment's host link: every CLI batch pays a host->device input
-transfer (~55 MB/s effective here, with minute-scale drift on the shared
-tunnel) that a production host's local link would not — hence the modest
-default floor; on local-attached hardware the same ratio sits near 1.
-The reference has the same ingest structure (stdin fread per loop,
-/root/reference/src/main.cu:271-294); its PCIe link just makes the
-equivalent cost invisible.
+Pass criterion — a two-resource ROOFLINE ratio, not an absolute: bound
+draws (the DEVICE-RESIDENT chip bound and the INPUT-TRANSFER bound, both
+same protocol shapes as the CLI's work) are INTERLEAVED with the CLI runs,
+and each CLI draw is gated against the mean of its two bracketing
+min(chip, transfer) bounds. A pipelined shell hides the cheaper resource
+under the binding one, so a healthy shell's ratio sits near 1 whichever
+resource binds — chip when the shared dev tunnel is healthy, transfer when
+it sags (measured swings: 55 -> 8 MB/s within one session) — and the
+[floor, 1.05] band stays meaningful in both regimes. An absolute floor
+would conflate the shell under test with this environment's host link;
+a production host's local link makes the transfer bound vanish, as the
+reference's PCIe link does for its identical ingest structure (stdin
+fread per loop, /root/reference/src/main.cu:271-294).
 
 Run: python tools/check_cli_tpu.py [--windows N]   (needs the real TPU)
 Committed output: tests/data/cli_throughput_tpu.json
@@ -128,59 +127,110 @@ def ceiling_main(batch: int, depth: int, iters: int) -> int:
     return 0
 
 
+def transfer_main(batch: int, depth: int, iters: int) -> int:
+    """--transfer mode: the INPUT-TRANSFER bound — fresh (batch, 5184)
+    int16 host buffers shipped through the same jitted-argument path the
+    CLI's decode calls use (trivial device compute, result fetched),
+    `depth` concurrent streams. When the shared dev tunnel degrades, this
+    is the binding resource: the CLI's steady state cannot beat bytes/s,
+    no matter the chip. Prints one JSON line."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from msk144cudecoder_tpu.runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(0, 1000, (batch, C.WINDOW_LEN)).astype(np.int16)
+    touch = jax.jit(lambda x: jnp.sum(x[:, :8], dtype=jnp.int32))
+    int(touch(base))  # compile + warm
+
+    bufs = [[base + np.int16(1 + i * depth + s) for i in range(iters)]
+            for s in range(depth)]
+    t0 = time.perf_counter()
+    ths = [threading.Thread(
+        target=lambda bs: [int(touch(b)) for b in bs], args=(bufs[s],))
+        for s in range(depth)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    ms = (time.perf_counter() - t0) / (depth * iters * batch) * 1e3
+    mbps = batch * C.WINDOW_LEN * 2 / (ms / 1e3 * batch) / 1e6
+    print(json.dumps({"transfer_ms_per_window": round(ms, 4),
+                      "transfer_rtf": round(C.HOP_LEN / (ms / 1e3)
+                                            / C.SAMPLE_RATE, 1),
+                      "transfer_mb_per_s": round(mbps, 1)}))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--windows", type=int, default=16384)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--depth", type=int, default=4)
-    p.add_argument("--floor-ratio", type=float, default=0.4,
+    p.add_argument("--floor-ratio", type=float, default=0.5,
                    help="pass floor: CLI rtf >= this fraction of the "
-                        "same-session DEVICE-RESIDENT chip bound (shell "
-                        "efficiency incl. this tunnel's input path; a "
-                        "local-attached production host sits near 1.0, "
-                        "losing the shell's transfer/compute overlap "
-                        "reads ~0.2)")
+                        "same-session BINDING resource bound "
+                        "min(device-resident chip bound, contemporaneous "
+                        "input-transfer bound) — the two-resource "
+                        "roofline. A pipelined shell hides the cheaper "
+                        "resource under the binding one, so a healthy "
+                        "shell sits near 1.0 in EITHER tunnel regime; "
+                        "losing the overlap reads ~0.2-0.4")
     p.add_argument("--repeat", type=int, default=3,
                    help="CLI runs; the best steady state is the headline "
                         "(the shared tunnel's minute-scale throughput drift "
                         "makes a single draw meaningless — all draws are "
                         "recorded)")
     p.add_argument("--ceiling", action="store_true",
-                   help="internal: measure the ceiling and exit")
+                   help="internal: measure the chip bound and exit")
+    p.add_argument("--transfer", action="store_true",
+                   help="internal: measure the input-transfer bound and exit")
     p.add_argument("--ceiling-iters", type=int, default=4)
     args = p.parse_args()
 
     if args.ceiling:
         return ceiling_main(args.batch, args.depth, args.ceiling_iters)
+    if args.transfer:
+        return transfer_main(args.batch, args.depth, args.ceiling_iters)
 
     raw, planted = build_stream(args.windows)
     n_msgs = len(planted)
     print(f"stimulus: {args.windows} windows, {len(raw)/1e6:.1f} MB, "
           f"{n_msgs} planted messages (all distinct)", flush=True)
 
-    def measure_ceiling() -> dict:
-        cproc = subprocess.run(
-            [sys.executable, "tools/check_cli_tpu.py", "--ceiling",
-             f"--batch={args.batch}", f"--depth={args.depth}",
-             f"--ceiling-iters={args.ceiling_iters}"],
-            capture_output=True, text=True, timeout=1800)
-        sys.stderr.write(cproc.stderr)
-        assert cproc.returncode == 0, "ceiling measurement failed"
-        return json.loads(cproc.stdout.strip().splitlines()[-1])
+    def measure_bounds() -> dict:
+        out = {}
+        for flag in ("--ceiling", "--transfer"):
+            cproc = subprocess.run(
+                [sys.executable, "tools/check_cli_tpu.py", flag,
+                 f"--batch={args.batch}", f"--depth={args.depth}",
+                 f"--ceiling-iters={args.ceiling_iters}"],
+                capture_output=True, text=True, timeout=1800)
+            sys.stderr.write(cproc.stderr)
+            assert cproc.returncode == 0, f"{flag} measurement failed"
+            out.update(json.loads(cproc.stdout.strip().splitlines()[-1]))
+        out["bound_rtf"] = min(out["ceiling_rtf"], out["transfer_rtf"])
+        return out
 
-    # INTERLEAVE ceiling draws with CLI runs: the shared dev tunnel's
+    # INTERLEAVE bound draws with CLI runs: the shared dev tunnel's
     # throughput swings >10x on minute scales (measured 0.39 vs 6.9
     # ms/window for the identical CLI run in one session), so each CLI draw
-    # is gated against the MEAN of its two bracketing ceilings — the
-    # contemporaneous baseline, not a stale one from minutes earlier. The
-    # ceiling is the device-resident chip bound, so the ratio is shell
-    # efficiency: > band_hi is physically impossible (the tunnel moved
-    # mid-bracket — measurement inconsistent), < floor is a shell
-    # regression; either disqualifies the draw from being the headline.
+    # is gated against the MEAN of its two bracketing BOUNDS — the
+    # two-resource roofline min(chip bound, input-transfer bound), measured
+    # contemporaneously. A pipelined shell hides the cheaper resource under
+    # the binding one, so the ratio sits near 1 in EITHER tunnel regime:
+    # > band_hi is physically impossible (the tunnel moved mid-bracket —
+    # measurement inconsistent), < floor is a shell regression; either
+    # disqualifies the draw from being the headline.
     cmd = [sys.executable, "-m", "msk144cudecoder_tpu", *DEEP_ARGS,
            f"--window-batch={args.batch}", f"--pipeline-depth={args.depth}"]
-    ceilings = [measure_ceiling()]
-    print(f"ceiling 0: {ceilings[0]}", flush=True)
+    ceilings = [measure_bounds()]
+    print(f"bounds 0: {ceilings[0]}", flush=True)
     runs = []
     with tempfile.NamedTemporaryFile(suffix=".raw") as f:
         f.write(raw)
@@ -211,33 +261,56 @@ def main() -> int:
                          "wall_s": round(wall, 1),
                          "decoded_planted": n_msgs - len(missing)})
             print(f"CLI run {rep}: {runs[-1]}", flush=True)
-            ceilings.append(measure_ceiling())
-            print(f"ceiling {rep + 1}: {ceilings[-1]}", flush=True)
+            ceilings.append(measure_bounds())
+            print(f"bounds {rep + 1}: {ceilings[-1]}", flush=True)
 
-    band_hi = 1.05  # a shell cannot beat the device-resident chip bound;
-    # small tolerance for tunnel drift between a draw's two brackets
+    band_hi = 1.05
+    # Two checks per draw, each against the resource that can actually
+    # carry it on this infra:
+    #   UPPER (physical): cli <= band_hi x the bracketing CHIP bounds' mean
+    #     — the chip bound is device-resident and measures stably (<2%
+    #     spread across a whole session) regardless of tunnel state.
+    #   FLOOR (regression): cli >= floor x min(chip bound, max of the two
+    #     bracketing TRANSFER bounds) — the link oscillates ~2x faster than
+    #     any bracket cadence, so the floor credits the shell against the
+    #     MOST FAVORABLE contemporaneous link reading (the strict direction
+    #     for a floor); when the link is the binding resource a pipelined
+    #     shell still clears floor x that.
     for i, r in enumerate(runs):
-        c0 = ceilings[i]["ceiling_rtf"]
-        c1 = ceilings[i + 1]["ceiling_rtf"]
-        r["ceiling_before_rtf"] = c0
-        r["ceiling_after_rtf"] = c1
-        r["ceiling_rtf"] = round((c0 + c1) / 2, 1)
-        r["ratio"] = round(r["rtf"] / r["ceiling_rtf"], 4)
-        r["consistent"] = args.floor_ratio <= r["ratio"] <= band_hi
-        print(f"draw {i}: cli {r['rtf']}x vs bracketing ceilings "
-              f"({c0}, {c1}) -> ratio {r['ratio']} "
-              f"{'OK' if r['consistent'] else 'INCONSISTENT'}", flush=True)
+        chip = (ceilings[i]["ceiling_rtf"]
+                + ceilings[i + 1]["ceiling_rtf"]) / 2
+        xfer_max = max(ceilings[i]["transfer_rtf"],
+                       ceilings[i + 1]["transfer_rtf"])
+        r["chip_bound_rtf"] = round(chip, 1)
+        r["transfer_bound_max_rtf"] = round(xfer_max, 1)
+        floor_bound = min(chip, xfer_max)
+        r["floor_bound_rtf"] = round(floor_bound, 1)
+        r["binding_resource"] = "chip" if chip <= xfer_max else "transfer"
+        r["cli_vs_chip_ratio"] = round(r["rtf"] / chip, 4)
+        r["cli_vs_floor_bound_ratio"] = round(r["rtf"] / floor_bound, 4)
+        r["consistent"] = (r["cli_vs_chip_ratio"] <= band_hi
+                           and r["cli_vs_floor_bound_ratio"]
+                           >= args.floor_ratio)
+        print(f"draw {i}: cli {r['rtf']}x vs chip {r['chip_bound_rtf']} / "
+              f"xfer_max {r['transfer_bound_max_rtf']} (binding "
+              f"{r['binding_resource']}) -> vs-chip "
+              f"{r['cli_vs_chip_ratio']}, vs-floor-bound "
+              f"{r['cli_vs_floor_bound_ratio']} "
+              f"{'OK' if r['consistent'] else 'FAIL'}", flush=True)
 
     consistent = [r for r in runs if r["consistent"]]
     assert consistent, (
-        f"no CLI draw was consistent with its contemporaneous ceilings "
-        f"(ratios {[r['ratio'] for r in runs]}, band "
-        f"[{args.floor_ratio}, {band_hi}]) — tunnel too unstable; re-run")
+        f"no CLI draw passed the roofline checks "
+        f"(vs-chip {[r['cli_vs_chip_ratio'] for r in runs]} must be <= "
+        f"{band_hi}; vs-floor-bound "
+        f"{[r['cli_vs_floor_bound_ratio'] for r in runs]} must be >= "
+        f"{args.floor_ratio}) — shell regression or tunnel collapse; re-run")
     best = max(consistent, key=lambda r: r["rtf"])
     rtf, ms_per = best["rtf"], best["ms_per_window"]
     print(f"CLI steady-state (best CONSISTENT of {len(runs)}): {ms_per} "
           f"ms/window = {rtf}x real time; all draws "
-          f"{[(r['rtf'], r['ratio']) for r in runs]}", flush=True)
+          f"{[(r['rtf'], r['cli_vs_chip_ratio']) for r in runs]}",
+          flush=True)
 
     from msk144cudecoder_tpu.runtime.evidence import provenance
     report = {
@@ -249,23 +322,28 @@ def main() -> int:
         "steady_state_ms_per_window": ms_per,
         "steady_state_rtf": rtf,
         "runs": runs,
-        "ceilings_rtf": [c["ceiling_rtf"] for c in ceilings],
-        "ceiling_rtf": best["ceiling_rtf"],
-        "cli_vs_ceiling_ratio": best["ratio"],
+        "chip_bounds_rtf": [c["ceiling_rtf"] for c in ceilings],
+        "transfer_bounds_rtf": [c["transfer_rtf"] for c in ceilings],
+        "transfer_mb_per_s": [c["transfer_mb_per_s"] for c in ceilings],
+        "chip_bound_rtf": best["chip_bound_rtf"],
+        "binding_resource": best["binding_resource"],
+        "cli_vs_chip_ratio": best["cli_vs_chip_ratio"],
+        "cli_vs_floor_bound_ratio": best["cli_vs_floor_bound_ratio"],
         "floor_ratio": args.floor_ratio,
         "band_hi": band_hi,
-        "note": ("ceiling = the DEVICE-RESIDENT chip bound (bench.py's "
-                 "multi-stream protocol, no input H2D), INTERLEAVED with "
-                 "the CLI runs; each draw is gated against the mean of its "
-                 "two bracketing ceilings. ratio = end-to-end shell "
-                 "efficiency vs the chip: <= 1 physically, ~1.0 on a "
-                 "local-attached production host, lower here because the "
-                 "dev tunnel's input path is in the loop; > band_hi means "
-                 "the tunnel moved mid-bracket (measurement inconsistent), "
-                 "< floor_ratio means the shell lost its transfer/compute "
-                 "overlap (regression). Transfer-inclusive 'ceilings' were "
-                 "tried twice and measured BELOW the CLI they were meant "
-                 "to bound — see ceiling_main's docstring"),
+        "note": ("two-resource roofline gate, bounds INTERLEAVED with the "
+                 "CLI runs: UPPER — cli <= band_hi x the DEVICE-RESIDENT "
+                 "chip bound (bench.py's multi-stream protocol, no input "
+                 "H2D; stable <2% across a session), physical. FLOOR — "
+                 "cli >= floor_ratio x min(chip bound, max bracketing "
+                 "INPUT-TRANSFER bound) (fresh host batches through the "
+                 "jitted-argument path): the shared tunnel's link "
+                 "oscillates ~2x faster than any bracket cadence (measured "
+                 "8-55 MB/s within one session), so the floor credits the "
+                 "shell against the most favorable contemporaneous link "
+                 "reading. Transfer-INCLUSIVE single ceilings were tried "
+                 "twice and measured BELOW the CLI they were meant to "
+                 "bound — see ceiling_main's docstring"),
         "provenance": provenance(),
         "ok": True,
     }
