@@ -172,15 +172,16 @@ def main() -> int:
         "device-resident input")
     # The mesh layout's cost is a FIXED per-window overhead (frequency
     # tables arrive as shard_map runtime operands instead of jit constants,
-    # plus the pad-channel masking), so the gate is absolute: <= 0.05
-    # ms/window on top of the unsharded path (at the round-4 K=256 default
-    # that is ~1.2x relative; at K=512 it was ~1.05x — same overhead,
-    # faster baseline). A chip added to the freq axis must buy nearly a
-    # chip's worth of throughput; 0.05 ms against a per-chip 0.14 keeps
-    # scaling efficiency >= 74% even in the worst accounting.
+    # plus the pad-channel masking), so the gate is absolute: <= 0.02
+    # ms/window on top of the unsharded path (measured ~0.004-0.005 across
+    # rounds 4-5; 0.02 is 4x margin for tunnel noise on the alternating
+    # trials). At the round-5 ~0.11 ms/window baseline that caps the
+    # relative ratio at ~1.18 worst-case and typically lands ~1.04 — a
+    # chip added to the freq axis must buy nearly a chip's worth of
+    # throughput.
     overhead = ms_sharded - ms_plain
     report["sharded_overhead_ms_per_window"] = round(overhead, 4)
-    assert overhead <= 0.05, (
+    assert overhead <= 0.02, (
         f"sharded (1,1) path costs +{overhead:.3f} ms/window over unsharded")
 
     # the planted deep-scan message must decode through the sharded path
