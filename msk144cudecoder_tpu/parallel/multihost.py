@@ -116,6 +116,15 @@ def addressable_rows(x, lo: int, hi: int) -> Optional[np.ndarray]:
     cov = np.zeros(shape[:2] if x.ndim >= 2 else shape[:1], dtype=bool)
     for sh in x.addressable_shards:
         idx = tuple(sh.index)
+        # coverage is tracked over the first two axes only; a shard that
+        # slices any LATER axis would be double-counted by that tracking,
+        # so such layouts take the collective fallback (none of the
+        # bundled out_specs shard past axis 1)
+        for j in range(2, len(idx)):
+            s = idx[j]
+            if (s.start or 0) != 0 or (s.stop is not None
+                                       and s.stop != x.shape[j]):
+                return None
         r = idx[0] if idx else slice(None)
         rs = r.start or 0
         re_ = r.stop if r.stop is not None else x.shape[0]

@@ -57,17 +57,27 @@ class StreamDecoder:
         # are demodulated, so candidates outside the prefilter that would
         # have passed the threshold are uncountable without the full demod
         # the prefilter exists to avoid. The warning text says "at least".
+        # On a mesh the prefilter resolves per SHARD against the local
+        # candidate count (survivor_capacity / max_survivors shards over
+        # the possibly padded grid), not the global one.
+        n_shards = max(1, self.survivor_capacity // max(cfg.max_survivors, 1))
+        grid_f = len(cfg.freqs) if freqs is None else len(freqs)
+        local_nc = (-(-grid_f // n_shards)
+                    * cfg.scan_depth * cfg.candidates_per_pattern)
         self._count_is_lower_bound = pipeline.resolve_prefilter(
-            cfg, cfg.num_candidates, pipeline.resolve_use_pallas(cfg)) > 0
+            cfg, local_nc, pipeline.resolve_use_pallas(cfg)) > 0
         self.snr_tracker = SNRTracker()
         self.result_filter = ResultFilter()
         self.hashes = msg77.CallsignHashTable()
         self._decode_cache: Dict[bytes, Tuple[bool, str]] = {}
         self._freqs = cfg.freqs if freqs is None else freqs
         self._pending: deque = deque()  # in-flight WindowDecodeResults (FIFO)
-        # survivor-overflow warning aggregation (see _warn_overflow)
+        # survivor-overflow warning aggregation (see _warn_overflow):
+        # global-capacity and per-shard overflows tracked separately so the
+        # rate-limited aggregate cites the right bound
         self._ovf_count = 0
-        self._ovf_max = 0
+        self._ovf_max_global = 0
+        self._ovf_max_shard = 0
         self._ovf_window = 0
 
     # -- device side ------------------------------------------------------
@@ -161,32 +171,37 @@ class StreamDecoder:
         shard_over = shard_surv > self.cfg.max_survivors
         if n_surv > 0 or shard_over:
             self._ovf_count += 1
-            self._ovf_max = max(self._ovf_max, n_surv,
-                                shard_surv if shard_over else 0)
+            self._ovf_max_global = max(self._ovf_max_global, n_surv)
+            if shard_over:
+                self._ovf_max_shard = max(self._ovf_max_shard, shard_surv)
         if ((self._ovf_count == 1 and (n_surv > 0 or shard_over))
                 or (self._ovf_window >= self.OVERFLOW_WARN_EVERY
                     and self._ovf_count)):
+            mx = max(self._ovf_max_global, self._ovf_max_shard)
             agg = (f" ({self._ovf_count} of the last {self._ovf_window} "
-                   f"windows overflowed; max {self._ovf_max})"
+                   f"windows overflowed; max {mx})"
                    if self._ovf_window > 1 else "")
             lb = "at least " if self._count_is_lower_bound else ""
-            if n_surv > 0:
-                head = (f"{lb}{n_surv} sync survivors exceed the LDPC batch "
+            # cite the bound that was actually exceeded (the aggregate path
+            # may be reporting past windows: prefer the global-capacity
+            # breach, fall back to the per-shard one)
+            g = n_surv if n_surv > 0 else self._ovf_max_global
+            if g > 0:
+                head = (f"{lb}{g} sync survivors exceed the LDPC batch "
                         f"(max_survivors={self.survivor_capacity})")
-            elif shard_over:
-                head = (f"{lb}{shard_surv} sync survivors in one frequency "
+            else:
+                s = shard_surv if shard_over else self._ovf_max_shard
+                head = (f"{lb}{s} sync survivors in one frequency "
                         f"shard exceed its local batch "
                         f"(max_survivors={self.cfg.max_survivors} per shard)")
-            else:
-                head = (f"{lb}{self._ovf_max} sync survivors exceed the LDPC "
-                        f"batch (max_survivors={self.survivor_capacity})")
             print(
                 f"Warning: {head}; decoding the best survivors by "
                 f"(nbadsync, xb).{agg}",
                 file=sys.stderr,
             )
             if self._ovf_window >= self.OVERFLOW_WARN_EVERY:
-                self._ovf_count = self._ovf_max = self._ovf_window = 0
+                self._ovf_count = self._ovf_window = 0
+                self._ovf_max_global = self._ovf_max_shard = 0
 
     def _postprocess_one(self, res, b: int) -> List[ResultItem]:
         """Host post-processing for window b of a batched result."""

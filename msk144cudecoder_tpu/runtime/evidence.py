@@ -22,8 +22,12 @@ _PKG = pathlib.Path(__file__).resolve().parents[1]
 _REPO = _PKG.parent
 
 #: compute-path sources whose edits invalidate pinned hardware evidence:
-#: every kernel/pipeline file plus the sharded formulations they run under.
-_HASHED = ("ops/*.py", "parallel/sharding.py", "parallel/multihost.py")
+#: every kernel/pipeline file, the sharded formulations they run under, and
+#: the files that fix decode-affecting DEFAULTS and protocol constants —
+#: a default flip (e.g. scan_decimation, max_survivors) changes what the
+#: battery measured just as surely as a kernel edit does.
+_HASHED = ("ops/*.py", "parallel/sharding.py", "parallel/multihost.py",
+           "config.py", "constants.py")
 
 
 def ops_content_hash() -> str:

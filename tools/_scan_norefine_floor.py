@@ -1,14 +1,17 @@
-"""Does dec2-coarse WITHOUT odd-lag refine move the decode floor? (dev probe)
+"""Does coarse scan decimation WITHOUT odd-lag refine move the decode
+floor? (dev probe; the committed evidence behind config.scan_decimation)
 
-Patches ops.scan.select_candidates with the coarse protocol (slice argmax
-over EVEN lags only — exactly what the decimated kernel produces, candidate
-positions possibly 1 sample off the true peak) and runs the sensitivity
-sweep's trial loop on CPU, baseline vs patched, same seeds.
+Round-5 history: the original experiment monkeypatched
+ops.scan.select_candidates with a coarse selector to test the protocol
+BEFORE the feature existed. Now that `scan_decimation` is a config knob
+the probe simply runs the real pipeline at dec=1 (the full-resolution
+reference grid) vs dec=N, same seeds — comparing exactly what ships.
 
-If the floor is identical the kernel ships coarse-only; if it drops, the
-refine is mandatory and its budget is known (~0.01 ms/win).
+If the floors are identical the kernel ships coarse-only (no ±1 refine);
+measured on-chip at the deep-scan protocol the dec>1 floors are strict
+SUPERSETS at -8 dB (see config.py scan_decimation).
 
-Run: python tools/_scan_norefine_floor.py [--trials 20]
+Run: python tools/_scan_norefine_floor.py [--trials 20] [--dec 4]
 """
 from __future__ import annotations
 
@@ -22,32 +25,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
-
-from msk144cudecoder_tpu import constants as C
 from msk144cudecoder_tpu import golden as G
 from msk144cudecoder_tpu.config import DecoderConfig
-from msk144cudecoder_tpu.ops import pipeline, scan
+from msk144cudecoder_tpu.ops import pipeline
 from msk144cudecoder_tpu.protocol import msg77
-
-_N = C.WINDOW_LEN
-
-
-def select_candidates_coarse(xb, num_cand=C.NUM_CANDIDATES_PER_PATTERN,
-                             dec=2):
-    """Coarse protocol: per-slice argmax over every dec-th lag, no refine."""
-    P, _, F = xb.shape
-    pad = jnp.concatenate([xb, xb[:, : C.SCAN_PAD_LEN - _N, :]], axis=1)
-    sl = pad.reshape(P, C.NUM_SCAN_SLICES, C.SCAN_SLICE, F)
-    coarse = sl[:, :, ::dec, :]  # (P, 21, 256/dec, F)
-    slice_max = coarse.max(axis=2)
-    slice_arg = dec * coarse.argmax(axis=2).astype(jnp.int32)
-    sm = slice_max.transpose(2, 0, 1)
-    sa = slice_arg.transpose(2, 0, 1)
-    top_xb, top_slice = jax.lax.top_k(sm, num_cand)
-    pos = (top_slice * C.SCAN_SLICE
-           + jnp.take_along_axis(sa, top_slice, axis=-1)) % _N
-    return pos.astype(jnp.int32), top_xb
 
 
 def run_sweep(cfg, snrs, trials, message="CQ K1ABC FN42"):
@@ -77,26 +58,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trials", type=int, default=20)
     p.add_argument("--snrs", type=str, default="-4,-6,-8")
-    p.add_argument("--dec", type=int, default=2)
+    p.add_argument("--dec", type=int, default=4)
     args = p.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
 
-    cfg = DecoderConfig(search_width=100.0, search_step=2.0, scan_depth=6,
-                        max_survivors=256, nbadsync_threshold=3)
+    base_kw = dict(search_width=100.0, search_step=2.0, scan_depth=6,
+                   max_survivors=256, nbadsync_threshold=3)
 
-    print("baseline (full-resolution select):", flush=True)
-    base = run_sweep(cfg, snrs, args.trials)
+    print("baseline (scan_decimation=1, full-resolution grid):", flush=True)
+    base = run_sweep(DecoderConfig(scan_decimation=1, **base_kw),
+                     snrs, args.trials)
 
-    orig = scan.select_candidates
-    scan.select_candidates = lambda xb, num_cand=8: select_candidates_coarse(
-        xb, num_cand, args.dec)
-    pipeline.decode_raw.clear_cache()
-    try:
-        print(f"coarse dec={args.dec}, NO refine:", flush=True)
-        coarse = run_sweep(cfg, snrs, args.trials)
-    finally:
-        scan.select_candidates = orig
-        pipeline.decode_raw.clear_cache()
+    print(f"coarse (scan_decimation={args.dec}, NO refine):", flush=True)
+    coarse = run_sweep(DecoderConfig(scan_decimation=args.dec, **base_kw),
+                       snrs, args.trials)
 
     same = all(base[s] == coarse[s] for s in snrs)
     print(f"floor identical: {same}")
