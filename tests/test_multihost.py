@@ -67,6 +67,19 @@ class TestAddressableRows:
         np.testing.assert_array_equal(
             multihost.addressable_rows(v, 1, 3), v[1:3])
 
+    def test_axis2_sharded_leaf_falls_back(self):
+        """A leaf sharded on an axis >= 2 must return None (collective
+        fallback), not assemble partial shard writes as full coverage —
+        coverage is only tracked over the first two axes (review fix)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, axis_names=("time", "freq"))
+        x = np.arange(8 * 3 * 8, dtype=np.float32).reshape(8, 3, 8)
+        xs = jax.device_put(x, NamedSharding(mesh, P("time", None, "freq")))
+        assert multihost.addressable_rows(xs, 0, 4) is None
+
 
 _WORKER = textwrap.dedent("""
     import os, sys
