@@ -219,14 +219,11 @@ def main() -> int:
 
     # INTERLEAVE bound draws with CLI runs: the shared dev tunnel's
     # throughput swings >10x on minute scales (measured 0.39 vs 6.9
-    # ms/window for the identical CLI run in one session), so each CLI draw
-    # is gated against the MEAN of its two bracketing BOUNDS — the
-    # two-resource roofline min(chip bound, input-transfer bound), measured
-    # contemporaneously. A pipelined shell hides the cheaper resource under
-    # the binding one, so the ratio sits near 1 in EITHER tunnel regime:
-    # > band_hi is physically impossible (the tunnel moved mid-bracket —
-    # measurement inconsistent), < floor is a shell regression; either
-    # disqualifies the draw from being the headline.
+    # ms/window for the identical CLI run in one session), so every CLI
+    # draw gets CONTEMPORANEOUS chip + transfer bounds on both sides. The
+    # per-draw checks applied below are documented at the band_hi block:
+    # upper vs the (stable) chip bounds' mean, floor vs min(chip, most
+    # favorable bracketing transfer bound).
     cmd = [sys.executable, "-m", "msk144cudecoder_tpu", *DEEP_ARGS,
            f"--window-batch={args.batch}", f"--pipeline-depth={args.depth}"]
     ceilings = [measure_bounds()]
